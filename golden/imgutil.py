@@ -1,0 +1,202 @@
+"""Golden model: color, gradient, edge, thinning (oclimgutil.cl semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- color -----------------------------------------------------------------
+
+_M_RGB2XYZ = np.array([[0.412453, 0.357580, 0.180423],
+                       [0.212671, 0.715160, 0.072169],
+                       [0.019334, 0.119193, 0.950227]])
+_XN, _ZN = 0.950456, 1.088754
+
+
+def srgb_to_linear(u8):
+    s = np.asarray(u8, dtype=np.float64) / 255.0
+    return np.where(s <= 0.04045, s / 12.92, ((s + 0.055) / 1.055) ** 2.4)
+
+
+def _lab_f(t):
+    return np.where(t > 0.008856, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+
+def bgr_to_labf(bgr):
+    """(H,W,3) uint8 BGR -> normalized Lab floats (float64)."""
+    rgb = np.stack([srgb_to_linear(bgr[..., 2]),
+                    srgb_to_linear(bgr[..., 1]),
+                    srgb_to_linear(bgr[..., 0])], axis=-1)
+    xyz = rgb @ _M_RGB2XYZ.T
+    x = xyz[..., 0] / _XN
+    y = xyz[..., 1]
+    z = xyz[..., 2] / _ZN
+    fx, fy, fz = _lab_f(x), _lab_f(y), _lab_f(z)
+    lstar = np.where(y > 0.008856, 116.0 * fy - 16.0, 903.3 * y)
+    astar = 500.0 * (fx - fy)
+    bstar = 200.0 * (fy - fz)
+    return np.stack([lstar / 256.0, (astar + 128.0) / 256.0,
+                     (bstar + 128.0) / 256.0], axis=-1)
+
+
+def quantize_labf(labf):
+    scale = np.array([4096.0, 1024.0, 1024.0])
+    hi = np.array([4095.0, 1023.0, 1023.0])
+    q = np.clip(np.floor(labf * scale), 0, hi)
+    return (q + 0.5) / scale
+
+
+# --- boundary helpers --------------------------------------------------------
+
+def mirror1(x, n):
+    """clamp(x, -x, 2n-2-x) — reflect-101 (oclimgutil.cl:47-49)."""
+    x = int(x)
+    if x < -x:
+        x = -x
+    hi = 2 * n - 2 - x
+    if x > hi:
+        x = hi
+    return x
+
+
+def at(img, x, y):
+    ih, iw = img.shape[:2]
+    return img[mirror1(y, ih), mirror1(x, iw)]
+
+
+# --- edgevec / edge ----------------------------------------------------------
+
+V5C = np.array([
+    [-4.667, -4.083, 0.000, 4.083, 4.667],
+    [-10.024, -0.963, 0.000, 0.963, 10.024],
+    [-14.120, 3.622, 0.000, -3.622, 14.120],
+    [-10.024, -0.963, 0.000, 0.963, 10.024],
+    [-4.667, -4.083, 0.000, 4.083, 4.667],
+])
+
+
+def edgevec(img):
+    """oclimgutil.cl:395-420 (edgevec_f), float64 loops."""
+    ih, iw = img.shape
+    out = np.zeros((ih, iw, 2))
+    for y in range(ih):
+        for x in range(iw):
+            vx = vy = 0.0
+            for yy in range(-2, 3):
+                for xx in range(-2, 3):
+                    s = at(img, x + xx, y + yy)
+                    vx += V5C[yy + 2, xx + 2] * s
+                    vy += V5C[xx + 2, yy + 2] * s
+            ivlen = vx * vx + vy * vy
+            if ivlen > 1e-10:
+                r = 1.0 / np.sqrt(ivlen)
+                out[y, x] = (vx * r, vy * r)
+            else:
+                out[y, x] = (0.70710678118, 0.70710678118)
+    return out
+
+
+def edgevec_lab(labf):
+    """oclimgutil.cl:354-393 (edgevec_plab)."""
+    ih, iw = labf.shape[:2]
+    out = np.zeros((ih, iw, 2))
+    for y in range(ih):
+        for x in range(iw):
+            vx3 = np.zeros(3)
+            vy3 = np.zeros(3)
+            for yy in range(-2, 3):
+                for xx in range(-2, 3):
+                    s = at(labf, x + xx, y + yy)
+                    vx3 += V5C[yy + 2, xx + 2] * s
+                    vy3 += V5C[xx + 2, yy + 2] * s
+            e3 = vx3 * vx3 + vy3 * vy3
+            if e3[0] >= e3[1] and e3[0] >= e3[2]:
+                ivlen, vx, vy = e3[0], vx3[0], vy3[0]
+            elif e3[1] >= e3[2]:
+                ivlen, vx, vy = e3[1], vx3[1], vy3[1]
+            else:
+                ivlen, vx, vy = e3[2], vx3[2], vy3[2]
+            if e3[0] >= 1e-6 and (vx3[0] * vx + vy3[0] * vy) < 0:
+                vx, vy = -vx, -vy
+            if ivlen > 1e-10:
+                r = 1.0 / np.sqrt(ivlen)
+                vx, vy = vx * r, vy * r
+            else:
+                vx = vy = 0.70710678118
+            out[y, x] = (vx, vy)
+    return out
+
+
+def edge(img):
+    """oclimgutil.cl:439-452 (edge_f_f)."""
+    ih, iw = img.shape
+    out = np.zeros((ih, iw))
+    for y in range(ih):
+        for x in range(iw):
+            t = (at(img, x, y - 1) + at(img, x - 1, y)
+                 - at(img, x, y + 1) - at(img, x + 1, y))
+            s = (at(img, x - 1, y - 1) - at(img, x + 1, y + 1)) * t
+            t = (at(img, x, y - 1) - at(img, x - 1, y)
+                 + at(img, x + 1, y) - at(img, x, y + 1))
+            s += (at(img, x + 1, y - 1) - at(img, x - 1, y + 1)) * t
+            out[y, x] = np.sqrt(max(0.0, s))
+    return out
+
+
+def edge_lab(labf):
+    """oclimgutil.cl:422-437 (edge_plab): per-channel clamp then sum."""
+    ih, iw = labf.shape[:2]
+    out = np.zeros((ih, iw))
+    for y in range(ih):
+        for x in range(iw):
+            total = 0.0
+            for c in range(3):
+                ch = labf[..., c]
+                t = (at(ch, x, y - 1) + at(ch, x - 1, y)
+                     - at(ch, x, y + 1) - at(ch, x + 1, y))
+                s = (at(ch, x - 1, y - 1) - at(ch, x + 1, y + 1)) * t
+                t = (at(ch, x, y - 1) - at(ch, x - 1, y)
+                     + at(ch, x + 1, y) - at(ch, x, y + 1))
+                s += (at(ch, x + 1, y - 1) - at(ch, x - 1, y + 1)) * t
+                total += max(0.0, s)
+            out[y, x] = np.sqrt(total) if total > 0 else 0.0
+    return out
+
+
+# --- bicubic + thinning -------------------------------------------------------
+
+def _bicubic_sub(p0, p1, p2, p3, x):
+    v = p1 - p2
+    w = p3 - p0
+    u = v * 3.0 + w
+    u = u * x + (-4.0 * v + (p0 - p1 - w))
+    u = u * x + (p2 - p0)
+    u = u * x * 0.5 + p1
+    return u
+
+
+def bicubic(img, x, y):
+    """oclimgutil.cl:87-94: ix = (int)x (truncation), mirror taps."""
+    ix, iy = int(x), int(y)  # trunc toward zero, as in C
+    rows = []
+    for dy in range(-1, 3):
+        rows.append(_bicubic_sub(at(img, ix - 1, iy + dy), at(img, ix, iy + dy),
+                                 at(img, ix + 1, iy + dy), at(img, ix + 2, iy + dy),
+                                 x - ix))
+    return _bicubic_sub(rows[0], rows[1], rows[2], rows[3], y - iy)
+
+
+def thinthres(edge_img, vec):
+    """oclimgutil.cl:456-471 (thinthres_f_f_f2)."""
+    ih, iw = edge_img.shape
+    out = np.zeros((ih, iw))
+    for y in range(ih):
+        for x in range(iw):
+            vx, vy = vec[y, x]
+            am2 = bicubic(edge_img, x - 2 * vx, y - 2 * vy)
+            am1 = bicubic(edge_img, x - 1 * vx, y - 1 * vy)
+            a0 = edge_img[y, x]
+            ap1 = bicubic(edge_img, x + 1 * vx, y + 1 * vy)
+            ap2 = bicubic(edge_img, x + 2 * vx, y + 2 * vy)
+            if am1 <= a0 and a0 >= ap1:
+                out[y, x] = am2 + am1 + a0 + ap1 + ap2
+    return out

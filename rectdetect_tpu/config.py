@@ -1,0 +1,67 @@
+"""Pipeline configuration.
+
+All tunables of the reference are compile-time literals scattered through the
+sources (e.g. strength thresholds oclrect.c:277/307, minerror/sizeThre
+oclrect.c:361, BLBLURSIZE oclrect.cl:72, MINNINDEX oclpolyline.cl:21).  Here
+they live in one dataclass with the same defaults, so every app and test uses
+a single source of truth.  Fields are hashable so a config can be a static
+argument to jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # ---- edge front-end -------------------------------------------------
+    blur_radius: int = 2          # reference runs iirblur with r=2 (oclrect.c:248)
+    # ---- connected component labeling (fixed trip counts, ref values) ---
+    ccl_passes: int = 10          # MAXPASS, oclimgutil.c:229
+    ccl_jumps: int = 6            # pointer-jump depth per pass, oclimgutil.cl:531
+    labelpl_passes: int = 12      # N, oclpolyline.c:172
+    labelpl_jumps: int = 8        # oclpolyline.cl:340
+    labelmerge_passes: int = 8    # oclrect.c:328
+    labelmerge_jumps: int = 8     # oclrect.cl:328
+    # ---- arc numbering --------------------------------------------------
+    number_doublings: int = 14    # reach 2^14 px chains (ref reaches ~32768, oclpolyline.cl:287)
+    # ---- polyline stage -------------------------------------------------
+    mkpl_iters: int = 16          # N, oclpolyline.c:188 (N-1 subdivision rounds)
+    min_n_index: int = 4          # MINNINDEX, oclpolyline.cl:21
+    min_edge_len: float = 1.0     # MINEDGELEN, oclpolyline.cl:20
+    ls_capacity: int = 8192       # fixed segment arena capacity (dynamic in ref)
+    # ---- rect pipeline --------------------------------------------------
+    strength_scale: float = 10000.0  # fixed-point scale, oclimgutil.cl:648
+    strength_weak: int = 500      # oclrect.c:277
+    strength_strong: int = 2500   # oclrect.c:307
+    blblur_size: int = 4          # BLBLURSIZE, oclrect.cl:72
+    blblur_iters: int = 10        # oclrect.c:286-296
+    quantize_levels: int = 24     # oclrect.c:300
+    despeckle2_thre: int = 16     # oclrect.c:335
+    minerror_rect: float = 4.0    # oclrect.c:361
+    size_thre_rect: int = 20      # oclrect.c:361
+    # ---- poly tool defaults ---------------------------------------------
+    minerror_poly: float = 1.0    # poly.cpp:123
+    size_thre_poly: int = 20      # poly.cpp:123
+    strength_poly: int = 500      # poly.cpp:120
+    # ---- hypothesis / pose ----------------------------------------------
+    probe_n: int = 3              # probe points along segment, oclrect.c:1070
+    probe_dist: int = 2           # perpendicular probe offsets, oclrect.c:1070
+    ls_min_len_polyline: float = 32.0   # LSTHRE, oclrect.c:1182
+    short_ls_ratio: float = 0.05  # removeShortLS, oclrect.c:1134
+    max_groups: int = 192         # fixed cap of boundary/polyline hypothesis groups
+    max_group_segs: int = 48      # fixed cap of candidate segments per group
+    hull_max_vertices: int = 24   # fixed cap of hull vertices per group
+    cg_iters: int = 12            # oclrect.c:612
+    cg_line_search_iters: int = 10
+    accept_value: float = 0.05    # looksLikeAScreen, oclrect.c:637
+    aspect_limit: float = 12.0    # oclrect.c:643
+    offset_ratio_limit: float = 100.0  # oclrect.c:653
+
+    def ls_cap_for(self, iw: int, ih: int) -> int:
+        """Arena capacity: min(config cap, reference's byte budget iw*ih*4*4/56)."""
+        return int(min(self.ls_capacity, max(256, iw * ih * 16 // 56)))
+
+
+DEFAULT_CONFIG = PipelineConfig()

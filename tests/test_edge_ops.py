@@ -1,0 +1,105 @@
+import numpy as np
+import jax.numpy as jnp
+
+from golden import imgutil as G
+from rectdetect_tpu.core import color as C
+from rectdetect_tpu.ops import blur as B
+from rectdetect_tpu.ops import gradient as GR
+from rectdetect_tpu.ops import thin as T
+
+
+def _labf(scene):
+    return G.bgr_to_labf(scene).astype(np.float32)
+
+
+def test_gaussian_taps_normalized():
+    for r in (1, 2, 3, 8, 32):
+        taps = B.gaussian_taps(r)
+        assert abs(sum(taps) - 1.0) < 1e-12
+    # for r >= 2 the normalized peak approximates the reference's
+    # coef[0] = 1/(sigma*sqrt(2pi)) with sigma = r/3 (at r=1 the discrete
+    # sampling is too coarse for the continuous peak to survive)
+    for r in (2, 3, 8):
+        sigma = r / 3.0
+        assert abs(max(B.gaussian_taps(r)) -
+                   1.0 / (sigma * np.sqrt(2 * np.pi))) < 0.02
+
+
+def test_gaussian_blur_constant_preserved():
+    img = jnp.full((32, 40), 0.37, jnp.float32)
+    out = np.asarray(B.gaussian_blur(img, 2))
+    np.testing.assert_allclose(out, 0.37, atol=1e-6)
+
+
+def test_gaussian_blur_matches_scipy(scene):
+    from scipy.ndimage import correlate1d
+    lab = _labf(scene)[..., 0]
+    got = np.asarray(B.gaussian_blur(jnp.asarray(lab), 2))
+    taps = np.asarray(B.gaussian_taps(2))
+    want = correlate1d(lab.astype(np.float64), taps, axis=1, mode="mirror")
+    want = correlate1d(want, taps, axis=0, mode="mirror")
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_gaussian_blur_iir_close_to_fir():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((40, 48)), jnp.float32)
+    fir = np.asarray(B.gaussian_blur(img, 9))       # sigma = 3
+    iir = np.asarray(B.gaussian_blur_iir(img, 3.0))
+    # interior agreement (IIR has different boundary handling)
+    np.testing.assert_allclose(fir[12:-12, 12:-12], iir[12:-12, 12:-12],
+                               atol=2e-2)
+
+
+def test_edgevec_matches_golden(scene):
+    lab = _labf(scene)[..., 0]
+    got = np.asarray(GR.edgevec(jnp.asarray(lab)))
+    want = G.edgevec(lab)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_edgevec_lab_matches_golden(scene):
+    lab = _labf(scene)
+    got = np.asarray(GR.edgevec_lab(jnp.asarray(lab)))
+    want = G.edgevec_lab(lab)
+    # unit vectors: compare dot products to tolerate sign-flip knife-edges
+    dot = (got * want).sum(-1)
+    assert (dot > 0.999).mean() > 0.995
+
+
+def test_edge_matches_golden(scene):
+    lab = _labf(scene)[..., 0]
+    got = np.asarray(GR.edge(jnp.asarray(lab)))
+    np.testing.assert_allclose(got, G.edge(lab), atol=2e-4)
+
+
+def test_edge_lab_matches_golden(scene):
+    lab = _labf(scene)
+    got = np.asarray(GR.edge_lab(jnp.asarray(lab)))
+    np.testing.assert_allclose(got, G.edge_lab(lab), atol=2e-4)
+
+
+def test_bicubic_sample_matches_golden(scene):
+    lab = _labf(scene)[..., 0]
+    vec = G.edgevec(lab).astype(np.float32)
+    for k in (-2.0, -1.0, 1.0, 2.0):
+        got = np.asarray(T.bicubic_sample_along(
+            jnp.asarray(lab), jnp.asarray(vec[..., 0]), jnp.asarray(vec[..., 1]), k))
+        want = np.zeros_like(lab, dtype=np.float64)
+        for y in range(lab.shape[0]):
+            for x in range(lab.shape[1]):
+                want[y, x] = G.bicubic(lab, x + k * vec[y, x, 0],
+                                       y + k * vec[y, x, 1])
+        np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_thinthres_matches_golden(scene):
+    lab = _labf(scene)
+    e = G.edge_lab(lab).astype(np.float32)
+    vec = G.edgevec(lab[..., 0]).astype(np.float32)
+    got = np.asarray(T.thinthres(jnp.asarray(e), jnp.asarray(vec)))
+    want = G.thinthres(e, vec)
+    # the keep-predicate is knife-edge at equality; allow a tiny mismatch set
+    mism = np.abs(got - want) > 1e-3
+    assert mism.mean() < 0.01
+    np.testing.assert_allclose(got[~mism], want[~mism], atol=1e-3)
