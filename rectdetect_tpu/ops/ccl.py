@@ -1,0 +1,205 @@
+"""Connected-component labeling and per-component reductions.
+
+The reference labels 8-connected equal-value components by iterative
+min-label propagation: init label=flat index (labelxPreprocess,
+oclimgutil.cl:495-509), then MAXPASS=10 passes of {min over 8-neighborhood,
+6 pointer-jumping steps g=label[g], atomic_min to label[og] and label[p0]}
+(label8xMain, oclimgutil.cl:511-538).
+
+TPU re-design (no atomics, fully deterministic):
+  * neighbor min      -> 8 statically shifted min-selects
+  * pointer jumping   -> flat gathers label[label]
+  * atomic_min        -> scatter-min (`.at[idx].min(val)`), order-independent
+Background uses sentinel N (the flat size) so gathers/scatters fall into a
+dump slot; converted to -1 on output like the reference.
+
+The same skeleton serves labelpl (arc splitting) and labelMerge (region
+merging) — they pass different neighbor predicates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from rectdetect_tpu.ops.shifts import NEIGH8, pad2d, shifted
+
+
+def _flat_neighbor_idx(h, w, dy, dx):
+    """Flat index of the (dy,dx) neighbor, or -1 out of bounds."""
+    y = jnp.arange(h)[:, None] + dy
+    x = jnp.arange(w)[None, :] + dx
+    ok = (y >= 0) & (y < h) & (x >= 0) & (x < w)
+    return jnp.where(ok, y * w + x, -1), ok
+
+
+def _pointer_jump(label_ext, g, n_jumps):
+    for _ in range(n_jumps):
+        g = label_ext[g]
+    return g
+
+
+def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
+                     compress: bool = True):
+    """8-connected CCL over equal pixel values; background bgc -> label -1.
+
+    pix: (H, W) int32.  Returns (H, W) int32 labels = min flat index of the
+    component (the reference's converged fixpoint).
+    """
+    h, w = pix.shape
+    n = h * w
+    sent = n
+    flat_pix = pix.reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    fg = flat_pix != bgc
+
+    # labelxPreprocess: seed from the up/left equal neighbor when possible.
+    pixp = pad2d(pix, 1, "zero", constant=bgc ^ 0x55555555)
+    up_same = shifted(pixp, 1, -1, 0, h, w) == pix
+    left_same = shifted(pixp, 1, 0, -1, h, w) == pix
+    idx2d = idx.reshape(h, w)
+    seed = jnp.where(up_same, idx2d - w, jnp.where(left_same, idx2d - 1, idx2d))
+    label = jnp.where(fg, seed.reshape(-1), sent).astype(jnp.int32)
+
+    neigh = [_flat_neighbor_idx(h, w, dy, dx) for (dy, dx) in NEIGH8]
+
+    def one_pass(label):
+        lbl2d = label.reshape(h, w)
+        lblp = pad2d(lbl2d, 1, "zero", constant=sent)
+        pixq = pad2d(pix, 1, "zero", constant=bgc ^ 0x55555555)
+        g = lbl2d
+        for (dy, dx) in NEIGH8:
+            cand = shifted(lblp, 1, dy, dx, h, w)
+            same = shifted(pixq, 1, dy, dx, h, w) == pix
+            g = jnp.minimum(g, jnp.where(same, cand, sent))
+        g = g.reshape(-1)
+        label_ext = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
+        g = _pointer_jump(label_ext, g, n_jumps)
+        og = jnp.where(fg, label, sent)
+        g = jnp.where(fg, g, sent)
+        new = label.at[og].min(jnp.where(og < sent, g, sent),
+                               mode="drop", indices_are_sorted=False)
+        new = jnp.minimum(new, g)
+        return new
+
+    for _ in range(n_passes):
+        label = one_pass(label)
+
+    if compress:
+        label_ext = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
+        # full path compression: idempotent once converged
+        for _ in range(4):
+            label_ext = label_ext[jnp.minimum(label_ext, sent)]
+        label = label_ext[:-1]
+
+    out = jnp.where(fg, label, -1)
+    return out.reshape(h, w).astype(jnp.int32)
+
+
+def calc_strength(edge_img, label, scale: float = 10000.0):
+    """Per-component sum of (int)(edge^2 * scale) over interior pixels.
+
+    Mirrors calcStrength (oclimgutil.cl:641-649): skips the 1px border and
+    labels <= 0; per-pixel int truncation before summing.
+    """
+    h, w = edge_img.shape
+    n = h * w
+    inter = _interior_mask(h, w, 1)
+    lbl = label.reshape(-1)
+    val = jnp.trunc(edge_img.reshape(-1) ** 2 * scale).astype(jnp.int32)
+    ok = inter.reshape(-1) & (lbl > 0)
+    tgt = jnp.where(ok, lbl, n)
+    acc = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(jnp.where(ok, val, 0),
+                                                     mode="drop")
+    return acc[:n]
+
+
+def filter_strength(label, strength, thre: int):
+    """Kill weak components (filterStrength, oclimgutil.cl:651-657).
+
+    Interior pixels whose component strength < thre (or label <= 0) -> -1.
+    Border pixels keep their label, as in the reference.
+    """
+    h, w = label.shape
+    inter = _interior_mask(h, w, 1)
+    lbl = label.reshape(-1)
+    st = strength[jnp.clip(lbl, 0, strength.shape[0] - 1)]
+    kill = (lbl <= 0) | (st < thre)
+    out = jnp.where(inter.reshape(-1) & kill, -1, lbl)
+    return out.reshape(h, w)
+
+
+def component_sizes(label, num: int | None = None, ignore: int = 0):
+    """Histogram of label occurrences (calcSize, oclpolyline.cl:357-365)."""
+    h, w = label.shape
+    n = num if num is not None else h * w
+    lbl = label.reshape(-1)
+    ok = lbl != ignore
+    tgt = jnp.where(ok & (lbl >= 0) & (lbl < n), lbl, n)
+    return jnp.zeros((n + 1,), jnp.int32).at[tgt].add(
+        jnp.where(tgt < n, 1, 0), mode="drop")[:n]
+
+
+@functools.lru_cache(maxsize=None)
+def _interior_cache(h, w, margin):
+    import numpy as np
+    m = np.zeros((h, w), bool)
+    m[margin:h - margin, margin:w - margin] = True
+    return m
+
+
+def _interior_mask(h, w, margin):
+    return jnp.asarray(_interior_cache(h, w, margin))
+
+
+def label_components_converged(pix, bgc: int):
+    """Run CCL to the exact fixpoint (for tests / robustness checks).
+
+    Internally sentinel-coded (background = N); decoded to -1 at the end.
+    """
+    h, w = pix.shape
+    sent = h * w
+    fg = pix.reshape(-1) != bgc
+    init = jnp.where(fg, jnp.arange(sent, dtype=jnp.int32),
+                     sent).reshape(h, w)
+
+    def cond(state):
+        prev, cur, it = state
+        return (it < sent) & jnp.any(prev != cur)
+
+    def body(state):
+        _, cur, it = state
+        return cur, _ccl_pass_free(cur, pix, bgc), it + 1
+
+    second = _ccl_pass_free(init, pix, bgc)
+    _, out, _ = jax.lax.while_loop(cond, body, (init, second, jnp.int32(0)))
+    ext = jnp.concatenate([out.reshape(-1), jnp.asarray([sent], jnp.int32)])
+    for _ in range(6):
+        ext = ext[ext]
+    return jnp.where(fg, ext[:-1], -1).reshape(h, w)
+
+
+def _ccl_pass_free(label2d, pix, bgc):
+    """One CCL pass over a sentinel-coded (background = N) label image."""
+    h, w = pix.shape
+    n = h * w
+    sent = n
+    label = label2d.reshape(-1)
+    lblp = pad2d(label.reshape(h, w), 1, "zero", constant=sent)
+    pixq = pad2d(pix, 1, "zero", constant=bgc ^ 0x55555555)
+    g = label.reshape(h, w)
+    for (dy, dx) in NEIGH8:
+        cand = shifted(lblp, 1, dy, dx, h, w)
+        same = shifted(pixq, 1, dy, dx, h, w) == pix
+        g = jnp.minimum(g, jnp.where(same, cand, sent))
+    g = g.reshape(-1)
+    ext = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
+    g = _pointer_jump(ext, g, 6)
+    fg = pix.reshape(-1) != bgc
+    og = jnp.where(fg, label, sent)
+    g = jnp.where(fg, g, sent)
+    new = label.at[og].min(g, mode="drop")
+    new = jnp.minimum(new, g)
+    return new.reshape(h, w)

@@ -1,0 +1,122 @@
+"""Binary edge-map morphology: junction counting, gap bridging, thinning to
+strings, branch removal.
+
+Every op is interior-masked static shifts (the reference kernels guard the
+1-2 px border), pure VPU work.  The reference leaves some output borders
+unwritten and relies on zero-initialized buffers (e.g. the oclpolyline
+simpleConnect early-return, oclpolyline.cl:91); here borders are explicitly
+zeroed — the deterministic equivalent.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rectdetect_tpu.ops.shifts import NEIGH8, pad2d, shifted
+from rectdetect_tpu.ops.ccl import _interior_mask
+
+
+def _neighbor_count(nz):
+    """#nonzero 8-neighbors (zero padding)."""
+    h, w = nz.shape
+    p = pad2d(nz.astype(jnp.int32), 1, "zero")
+    cnt = jnp.zeros(nz.shape, jnp.int32)
+    for dy, dx in NEIGH8:
+        cnt = cnt + shifted(p, 1, dy, dx, h, w)
+    return cnt
+
+
+def simple_junction(img, positive_only: bool = False):
+    """Neighbor-degree map (simpleJunction, oclpolyline.cl:66-87).
+
+    out = 0 for background/isolated pixels, else 1 + #nonzero 8-neighbors.
+    positive_only=True mirrors the oclrect.cl:74-95 variant which treats
+    only values > 0 as set (labels can be -1 there).
+    """
+    h, w = img.shape
+    nz = (img > 0) if positive_only else (img != 0)
+    cnt = 1 + _neighbor_count(nz)
+    out = jnp.where(nz & (cnt > 1), cnt, 0)
+    return jnp.where(_interior_mask(h, w, 1), out, 0).astype(jnp.int32)
+
+
+def simple_connect_poly(jn):
+    """1px gap bridging on a junction-degree map (oclpolyline.cl:89-110).
+
+    Input is the simpleJunction output; a background pixel becomes set when
+    it lies between opposing degree-2 string ends in one of 8 patterns.
+    Output is binarized (0/1); the 2px border is zero.
+    """
+    h, w = jn.shape
+    p = pad2d(jn, 2, "zero")
+
+    def n(dy, dx):
+        return shifted(p, 2, dy, dx, h, w)
+
+    set0 = jn != 0
+    bridge = ((n(0, -2) != 0) & (n(0, -1) == 2) & (n(0, 1) == 2) & (n(0, 2) != 0))
+    bridge |= ((n(-2, 0) != 0) & (n(-1, 0) == 2) & (n(1, 0) == 2) & (n(2, 0) != 0))
+    bridge |= ((n(-2, -2) != 0) & (n(-1, -1) == 2) & (n(1, 1) == 2) & (n(2, 2) != 0))
+    bridge |= ((n(-2, 2) != 0) & (n(-1, 1) == 2) & (n(1, -1) == 2) & (n(2, -2) != 0))
+    bridge |= ((n(0, 2) != 0) & (n(0, 1) == 2) & (n(1, -1) == 2) & (n(1, -2) != 0))
+    bridge |= ((n(0, -2) != 0) & (n(0, -1) == 2) & (n(1, 1) == 2) & (n(1, 2) != 0))
+    bridge |= ((n(-2, 1) != 0) & (n(-1, 1) == 2) & (n(1, 0) == 2) & (n(2, 0) != 0))
+    bridge |= ((n(-2, -1) != 0) & (n(-1, -1) == 2) & (n(1, 0) == 2) & (n(2, 0) != 0))
+    out = jnp.where(set0 | bridge, 1, 0)
+    return jnp.where(_interior_mask(h, w, 2), out, 0).astype(jnp.int32)
+
+
+def simple_connect_rect(jn):
+    """The oclrect.cl:97-121 variant (different bridging patterns)."""
+    h, w = jn.shape
+    p = pad2d(jn, 1, "zero")
+
+    def n(dy, dx):
+        return shifted(p, 1, dy, dx, h, w)
+
+    set0 = jn != 0
+    bridge = ((n(0, -1) == 2) & (n(0, 1) != 0))
+    bridge |= ((n(0, -1) != 0) & (n(0, 1) == 2))
+    bridge |= ((n(-1, 0) == 2) & (n(1, 0) != 0))
+    bridge |= ((n(-1, 0) != 0) & (n(1, 0) == 2))
+    bridge |= ((n(-1, -1) == 2) & (n(1, 1) == 2))
+    bridge |= ((n(-1, 1) == 2) & (n(1, -1) == 2))
+    bridge |= ((n(0, 1) == 2) & (n(1, -1) == 2))
+    bridge |= ((n(0, -1) == 2) & (n(1, 1) == 2))
+    bridge |= ((n(-1, 1) == 2) & (n(1, 0) == 2))
+    bridge |= ((n(-1, -1) == 2) & (n(1, 0) == 2))
+    out = jnp.where(set0 | bridge, 1, 0)
+    return jnp.where(_interior_mask(h, w, 2), out, 0).astype(jnp.int32)
+
+
+def stringify(img, parity: int):
+    """Checkerboard corner-thinning (stringify, oclpolyline.cl:112-124).
+
+    On pixels of the given checkerboard parity: clear the pixel if it has
+    both a vertical and a horizontal nonzero neighbor.  Applied twice
+    (parity 0 then 1) to thin edges into 8-connected strings.
+    """
+    h, w = img.shape
+    p = pad2d(img, 1, "zero")
+
+    def n(dy, dx):
+        return shifted(p, 1, dy, dx, h, w)
+
+    corner = (((n(-1, 0) != 0) & (n(0, -1) != 0)) |
+              ((n(-1, 0) != 0) & (n(0, 1) != 0)) |
+              ((n(1, 0) != 0) & (n(0, -1) != 0)) |
+              ((n(1, 0) != 0) & (n(0, 1) != 0)))
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    on_parity = ((yy + xx) & 1) == parity
+    clear = on_parity & corner & _interior_mask(h, w, 1)
+    return jnp.where(clear, 0, img).astype(jnp.int32)
+
+
+def remove_branch(img):
+    """Keep only pixels with <= 2 nonzero neighbors (oclpolyline.cl:126-147)."""
+    h, w = img.shape
+    nz = img != 0
+    cnt = _neighbor_count(nz)
+    out = jnp.where(nz & (cnt <= 2), 1, 0)
+    return jnp.where(_interior_mask(h, w, 1), out, 0).astype(jnp.int32)

@@ -1,0 +1,121 @@
+import numpy as np
+import jax.numpy as jnp
+
+from golden import labeling as G
+from rectdetect_tpu.ops import ccl as C
+from rectdetect_tpu.ops import morphology as M
+
+
+def _spiral(h=24, w=24):
+    """Adversarial worst case for label propagation: one long spiral."""
+    img = np.zeros((h, w), np.int32)
+    top, bot, left, right = 0, h - 1, 0, w - 1
+    while top <= bot and left <= right:
+        img[top, left:right + 1] = 1
+        img[top:bot + 1, right] = 1
+        img[bot, left:right + 1] = 1
+        img[top:bot + 1, left] = 1
+        top += 3
+        bot -= 3
+        left += 3
+        right -= 3
+    return img
+
+
+def _random_blobs(h=32, w=40, seed=3):
+    r = np.random.default_rng(seed)
+    return (r.random((h, w)) < 0.55).astype(np.int32)
+
+
+def test_ccl_matches_union_find_blobs():
+    pix = _random_blobs()
+    got = np.asarray(C.label_components(jnp.asarray(pix), 0, 10, 6))
+    want = G.label_components(pix, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ccl_multivalue():
+    r = np.random.default_rng(5)
+    pix = r.integers(0, 3, (28, 36)).astype(np.int32)
+    got = np.asarray(C.label_components(jnp.asarray(pix), 0, 10, 6))
+    want = G.label_components(pix, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ccl_spiral_converged():
+    pix = _spiral()
+    got = np.asarray(C.label_components_converged(jnp.asarray(pix), 0))
+    want = G.label_components(pix, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ccl_fixed_passes_spiral():
+    # 10 passes with 6-jump compression handles a 24x24 spiral (the
+    # reference relies on the same budget, oclimgutil.c:229)
+    pix = _spiral()
+    got = np.asarray(C.label_components(jnp.asarray(pix), 0, 10, 6))
+    want = G.label_components(pix, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_strength_filter(scene):
+    from golden import imgutil as GI
+    lab = GI.bgr_to_labf(scene)
+    e = GI.edge_lab(lab).astype(np.float32)
+    binary = (e > 0.05).astype(np.int32)
+    lbl = np.asarray(C.label_components(jnp.asarray(binary), 0, 10, 6))
+    st_got = np.asarray(C.calc_strength(jnp.asarray(e), jnp.asarray(lbl)))
+    st_want = G.calc_strength(e.astype(np.float64), lbl)
+    # per-pixel int truncation in f32 vs f64 can differ by 1 per pixel
+    nz = st_want > 0
+    assert np.all(np.abs(st_got[: len(st_want)][nz] - st_want[nz]) <=
+                  np.maximum(5, 0.01 * st_want[nz]))
+    fl_got = np.asarray(C.filter_strength(jnp.asarray(lbl),
+                                          jnp.asarray(st_got), 500))
+    fl_want = G.filter_strength(lbl, st_got, 500)
+    np.testing.assert_array_equal(fl_got, fl_want)
+
+
+def test_component_sizes():
+    pix = _random_blobs(20, 24)
+    lbl = np.asarray(C.label_components(jnp.asarray(pix), 0, 10, 6))
+    lbl0 = np.where(lbl < 0, 0, lbl)  # polyline convention: bg label 0
+    sizes = np.asarray(C.component_sizes(jnp.asarray(lbl0)))
+    want = np.bincount(lbl0.reshape(-1), minlength=lbl0.size)
+    want[0] = 0
+    np.testing.assert_array_equal(sizes, want[: len(sizes)])
+
+
+def test_morphology_matches_golden(scene):
+    from golden import imgutil as GI
+    lab = GI.bgr_to_labf(scene)
+    e = GI.edge_lab(lab)
+    binary = (e > 0.05).astype(np.int32)
+    j_got = np.asarray(M.simple_junction(jnp.asarray(binary)))
+    j_want = G.simple_junction(binary)
+    np.testing.assert_array_equal(j_got, j_want)
+
+    c_got = np.asarray(M.simple_connect_poly(jnp.asarray(j_want.astype(np.int32))))
+    c_want = G.simple_connect_poly(j_want)
+    np.testing.assert_array_equal(c_got, c_want)
+
+    s_got = np.asarray(M.stringify(jnp.asarray(c_want.astype(np.int32)), 0))
+    s_want = G.stringify(c_want, 0)
+    np.testing.assert_array_equal(s_got, s_want)
+    s2_got = np.asarray(M.stringify(jnp.asarray(s_want.astype(np.int32)), 1))
+    s2_want = G.stringify(s_want, 1)
+    np.testing.assert_array_equal(s2_got, s2_want)
+
+    r_got = np.asarray(M.remove_branch(jnp.asarray(s2_want.astype(np.int32))))
+    r_want = G.remove_branch(s2_want)
+    np.testing.assert_array_equal(r_got, r_want)
+
+
+def test_junction_positive_only():
+    img = np.array([[0, 0, 0, 0],
+                    [0, -1, 2, 0],
+                    [0, 3, 0, 0],
+                    [0, 0, 0, 0]], np.int32)
+    got = np.asarray(M.simple_junction(jnp.asarray(img), positive_only=True))
+    want = G.simple_junction(img, positive_only=True)
+    np.testing.assert_array_equal(got, want)
