@@ -154,6 +154,89 @@ def _interior_mask(h, w, margin):
     return jnp.asarray(_interior_cache(h, w, margin))
 
 
+def label_arcs(number, n_passes: int = 12, n_jumps: int = 8):
+    """Group string pixels into arcs of consecutive arc-length numbers.
+
+    Mirrors labelpl_preprocess/labelpl_main (oclpolyline.cl:312-355, host
+    N=12 at oclpolyline.c:170-184): pixels with number==0 (chain heads and
+    background) become background; 8-neighbors are merged when their
+    numbers differ by <= 1.  Background label is 0 (the labelpl
+    convention), foreground labels are min flat indices (> 0 since border
+    pixels are background).
+    """
+    h, w = number.shape
+    n = h * w
+    sent = n
+    fg2d = number > 0
+    fg = fg2d.reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    label = jnp.where(fg, idx, sent)
+
+    nump = pad2d(number, 1, "zero", constant=-9)
+
+    def one_pass(label):
+        lbl2d = label.reshape(h, w)
+        lblp = pad2d(lbl2d, 1, "zero", constant=sent)
+        g = lbl2d
+        for (dy, dx) in NEIGH8:
+            cand = shifted(lblp, 1, dy, dx, h, w)
+            nb = shifted(nump, 1, dy, dx, h, w)
+            ok = (nb > 0) & (jnp.abs(nb - number) <= 1)
+            g = jnp.minimum(g, jnp.where(ok, cand, sent))
+        g = g.reshape(-1)
+        label_ext = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
+        g = _pointer_jump(label_ext, g, n_jumps)
+        og = jnp.where(fg, label, sent)
+        g = jnp.where(fg, g, sent)
+        new = label.at[og].min(g, mode="drop")
+        new = jnp.minimum(new, g)
+        return new
+
+    for _ in range(n_passes - 1):
+        label = one_pass(label)
+
+    label_ext = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
+    for _ in range(4):
+        label_ext = label_ext[label_ext]
+    label = label_ext[:-1]
+    return jnp.where(fg, label, 0).reshape(h, w).astype(jnp.int32)
+
+
+def filter_size(label, sizes, size_thre: int):
+    """Zero labels whose component size is <= size_thre.
+
+    filterSize (oclpolyline.cl:367-378); label 0 is background (its size
+    histogram slot is never incremented, so it filters to 0 as well).
+    """
+    h, w = label.shape
+    lbl = label.reshape(-1)
+    sz = sizes[jnp.clip(lbl, 0, sizes.shape[0] - 1)]
+    return jnp.where(sz > size_thre, lbl, 0).reshape(h, w).astype(jnp.int32)
+
+
+def relabel_dense(label):
+    """Compact labels to dense ids 1..count, deterministically.
+
+    relabel_pass0/pass1 (oclpolyline.cl:380-420) assign dense ids via an
+    atomic counter in GPU-scheduling order; here roots (label == own flat
+    index) are ranked by flat index instead — deterministic, same set of
+    components.  Borders are zeroed like relabel_pass1 (oclpolyline.cl:406).
+    Returns (dense_label (H,W) int32 with 0 background, count int32).
+    """
+    h, w = label.shape
+    n = h * w
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    interior = ((yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1))
+    lbl = jnp.where(interior, label, 0).reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_root = (lbl == idx) & (lbl != 0)
+    rank = jnp.cumsum(is_root.astype(jnp.int32))
+    table = jnp.where(is_root, rank, 0).astype(jnp.int32)
+    out = jnp.where(lbl != 0, table[jnp.clip(lbl, 0, n - 1)], 0)
+    return out.reshape(h, w).astype(jnp.int32), rank[-1]
+
+
 def label_components_converged(pix, bgc: int):
     """Run CCL to the exact fixpoint (for tests / robustness checks).
 

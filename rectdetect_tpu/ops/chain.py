@@ -1,0 +1,164 @@
+"""Chain traversal: per-pixel neighbors along pixel strings and arc-length
+numbering.
+
+The reference walks 8-connected pixel strings with per-pixel next/prev
+pointers plus a direction-reversal flag algebra, advanced by fixed-hop
+kernels (findEnds0/1/2 + number, oclpolyline.cl:169-310; host sequence
+oclpolyline.c:250-275: 4 x 8-hop passes then 3 x 32-hop passes, reaching
+chains of ~4096/32768 px).
+
+TPU re-design — *directed-edge pointer doubling*:
+
+Every pixel p on a string (all degrees <= 2 after removeBranch) has up to
+two same-label neighbors n0(p), n1(p), enumerated in the reference's fixed
+rx/ry scan order (oclpolyline.cl:63-64, getnp :169-191).  Define 2N walker
+states u = (k, p) = "standing at p, about to step to nk(p)":
+
+    q = nk(p);  if q == p the state is absorbing (p is a chain end);
+    otherwise the walk continues at q away from p:
+    succ(u) = (k', q) with k' = 1 if n0(q) == p else 0.
+
+Pointer doubling on succ with hop-count accumulation yields, for every
+pixel and direction, the absorbing chain end and the exact distance to it
+in ceil(log2(maxlen)) gather passes — the same result as the reference's
+flag algebra but with exponential (not linear-per-pass) reach and no
+atomics.  The canonical head of a chain is its end with the smaller flat
+index (findEnds2, oclpolyline.cl:269-285); number(p) = arc distance from
+the head (the head itself gets 0, matching the reference, whose head is
+then dropped by labelpl_preprocess treating number==0 as background).
+
+Components that are cycles never absorb; breakLoops (oclpolyline.cl:157-167)
+deletes one pixel of every endpoint-free component beforehand, exactly so
+this cannot happen.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rectdetect_tpu.ops.shifts import NEIGH8_REF, pad2d, shifted
+
+
+def chain_neighbors(label):
+    """First/second same-label neighbor of every pixel, as flat indices.
+
+    label: (H, W) int32 with -1 for background (CCL output).  Border pixels
+    and background get n0 = n1 = self, like getnp returning p0.
+    Returns (n0, n1): (H*W,) int32 each.
+    """
+    h, w = label.shape
+    idx2d = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    lblp = pad2d(label, 1, "zero", constant=-2)  # border sentinel != any label
+    fg = label >= 0
+    # Interior guard: the reference only runs on 1..size-2 (findEnds0
+    # oclpolyline.cl:200); border foreground pixels behave as isolated.
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
+    active = fg & interior
+
+    n0 = idx2d
+    n1 = idx2d
+    found0 = jnp.zeros((h, w), bool)
+    found1 = jnp.zeros((h, w), bool)
+    for dy, dx in NEIGH8_REF:
+        same = shifted(lblp, 1, dy, dx, h, w) == label
+        nbidx = idx2d + dy * w + dx
+        take0 = same & ~found0
+        take1 = same & found0 & ~found1
+        n0 = jnp.where(take0, nbidx, n0)
+        n1 = jnp.where(take1, nbidx, n1)
+        found1 = found1 | take1
+        found0 = found0 | same
+    n0 = jnp.where(active, n0, idx2d)
+    n1 = jnp.where(active, n1, idx2d)
+    return n0.reshape(-1), n1.reshape(-1)
+
+
+def arc_number(label, n_doublings: int = 15):
+    """Arc-length index of every string pixel from its canonical head.
+
+    label: (H, W) int32 CCL labels (-1 background) of a string image whose
+    pixels all have degree <= 2 (post removeBranch + breakLoops).
+    Returns (number, end0, end1):
+      number: (H, W) int32, 0 at heads/background, k at the k-th pixel
+              along the chain from the head (head = chain end with the
+              smaller flat index), matching the reference's number output
+              (oclpolyline.cl:287-310).
+      end0/end1: (H*W,) int32 flat indices of the two chain ends reached
+              from each pixel (used by tests; head = min of the two).
+    """
+    h, w = label.shape
+    n = h * w
+    n0, n1 = chain_neighbors(label)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    # Directed states u = k*n + p ("at p, stepping into nk(p)").
+    nk = jnp.concatenate([n0, n1])              # (2n,) target pixel q
+    p_of = jnp.concatenate([idx, idx])
+    absorbing = nk == p_of
+    q = nk
+    # Next direction at q, walking away from p: 1 if n0(q) == p else 0.
+    kprime = jnp.where(n0[q] == p_of, 1, 0).astype(jnp.int32)
+    ptr = jnp.where(absorbing, jnp.concatenate([idx, idx + n]),
+                    kprime * n + q)
+    dist = jnp.where(absorbing, 0, 1).astype(jnp.int32)
+
+    for _ in range(n_doublings):
+        dist = dist + dist[ptr]
+        ptr = ptr[ptr]
+
+    # States on residual cycles (a breakLoops root whose removal left a
+    # diagonal reconnection) never absorb.  The reference's fixed-hop walks
+    # produce scheduling-dependent garbage there, which downstream stages
+    # drop (no number==1 pixel -> polyid 0, oclpolyline.cl:497-504).  Here
+    # they deterministically get number 0 (dropped as background by
+    # label_arcs), same outcome.
+    absorbed = absorbing[ptr]
+    endpix = ptr % n                             # absorbing state's pixel
+    e0, d0, a0 = endpix[:n], dist[:n], absorbed[:n]
+    e1, d1, a1 = endpix[n:], dist[n:], absorbed[n:]
+    pick0 = e0 <= e1
+    number = jnp.where(pick0, d0, d1)
+    okdir = jnp.where(pick0, a0, a1)
+    fg = label.reshape(-1) >= 0
+    number = jnp.where(fg & okdir, number, 0)
+    return number.reshape(h, w).astype(jnp.int32), e0, e1
+
+
+def count_ends(junction, label):
+    """Per-component count of degree-2 (endpoint) pixels.
+
+    countEnds (oclpolyline.cl:149-155): junction==2 means the pixel plus
+    exactly one neighbor.  Returns an (H*W,) histogram indexed by label.
+    The reference increments non-atomically (benign race, only ==0 is
+    consumed); segment-sum is the deterministic equivalent.
+    """
+    h, w = junction.shape
+    nsz = h * w
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
+    is_end = (junction == 2) & interior
+    lbl = label.reshape(-1)
+    tgt = jnp.where(is_end.reshape(-1) & (lbl >= 0), lbl, nsz)
+    return jnp.zeros((nsz + 1,), jnp.int32).at[tgt].add(
+        jnp.where(tgt < nsz, 1, 0), mode="drop")[:nsz]
+
+
+def break_loops(edge_img, label, n_ends):
+    """Delete the root pixel of endpoint-free components.
+
+    breakLoops (oclpolyline.cl:157-167): where label == flat index (the
+    component root) and the component has zero endpoints, clear the edge
+    pixel and set its label to -1 — turning every cycle into a path.
+    """
+    h, w = label.shape
+    idx2d = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
+    is_root = interior & (label == idx2d) & (label >= 0)
+    kill = is_root & (n_ends.reshape(h, w) == 0)
+    return (jnp.where(kill, 0, edge_img).astype(edge_img.dtype),
+            jnp.where(kill, -1, label).astype(jnp.int32))

@@ -1,0 +1,379 @@
+"""Polyline vectorization: binary edge strings -> refined line segments.
+
+This is the TPU re-design of oclpolyline (oclpolyline.c:218-309 +
+oclpolyline.cl).  The reference builds a dynamically allocated `lsList` of
+LS_t segments (oclpolyline.cl:29-39) using atomics (atomic_inc allocation,
+atomic_max distance argmax with a 13-bit random XOR tie-break, 64-bit
+atomic moment sums).  Here everything is deterministic dense tensor math:
+
+  * dynamic lsList        -> fixed-capacity SoA SegmentArena (cap slots,
+                             slot 0 unused; count scalar)
+  * atomic_inc allocation -> prefix-sum ranks over the per-segment split mask
+  * atomic_max + rand     -> segment max, ties broken by MIN flat pixel
+                             index (unique, deterministic; the reference's
+                             XOR rand makes its argmax unique but
+                             nondeterministic run-to-run)
+  * 64-bit atomic moments -> centered segment sums (numerically better
+                             than the reference's raw moment accumulation)
+  * refine_pass3 races    -> snap computed simultaneously from pre-snap
+                             coordinates
+
+Geometric outputs match the reference within float tolerance; segment *ids*
+are deterministic here and scheduler-dependent there (see SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rectdetect_tpu.ops import morphology
+from rectdetect_tpu.ops.ccl import (component_sizes, filter_size, label_arcs,
+                                    label_components, relabel_dense)
+from rectdetect_tpu.ops.chain import arc_number, break_loops, count_ends
+from rectdetect_tpu.config import PipelineConfig, DEFAULT_CONFIG
+
+MINEDGELEN = 1.0   # oclpolyline.cl:20
+MINNINDEX = 4      # oclpolyline.cl:21
+FIX = 65536.0      # fixed-point scale for distances (oclpolyline.cl:535)
+
+
+class SegmentArena(NamedTuple):
+    """SoA equivalent of the reference's LS_t list (oclpolyline.cl:29-39).
+
+    All arrays have shape (cap,); slot 0 is unused (the reference stores
+    the count in element 0's first word — here `count` is separate).
+    """
+    sx: jax.Array          # startCoords
+    sy: jax.Array
+    ex: jax.Array          # endCoords
+    ey: jax.Array
+    start_index: jax.Array
+    end_index: jax.Array
+    left_ptr: jax.Array
+    right_ptr: jax.Array
+    start_count: jax.Array
+    end_count: jax.Array
+    polyid: jax.Array
+    npix: jax.Array
+    level: jax.Array
+    count: jax.Array       # scalar int32
+
+    @property
+    def cap(self) -> int:
+        return self.sx.shape[0]
+
+
+def _seg_scatter(cap, tgt, val, mode, init):
+    """Scatter-reduce `val` into cap slots at `tgt` (out-of-range dropped)."""
+    out = jnp.full((cap,), init, val.dtype)
+    return getattr(out.at[tgt], mode)(val, mode="drop")
+
+
+def _coords(h, w, dtype=jnp.float32):
+    yy = jnp.arange(h, dtype=dtype)[:, None]
+    xx = jnp.arange(w, dtype=dtype)[None, :]
+    return (jnp.broadcast_to(xx, (h, w)).reshape(-1),
+            jnp.broadcast_to(yy, (h, w)).reshape(-1))
+
+
+def mkpl_init(label, number, cap: int) -> SegmentArena:
+    """Build the initial one-segment-per-arc arena (mkpl_pass0a/0b,
+    oclpolyline.cl:439-506).
+
+    label: (H,W) dense arc ids (1..count, 0 background); number: (H,W)
+    arc-length indices.  An arc survives (polyid != 0) iff it has exactly
+    one number==1 pixel and >= 2 pixels, like pass0b.
+    """
+    h, w = label.shape
+    n = h * w
+    l = label.reshape(-1).astype(jnp.int32)
+    num = number.reshape(-1).astype(jnp.int32)
+    px, py = _coords(h, w)
+    flat = jnp.arange(n, dtype=jnp.int32)
+
+    valid = (l > 0) & (l < cap)
+    tgt = jnp.where(valid, l, cap)
+    one = jnp.ones_like(l)
+
+    npix = _seg_scatter(cap, tgt, jnp.where(valid, one, 0), "add", 0)
+    start_count = _seg_scatter(cap, jnp.where(valid & (num == 1), l, cap),
+                               one, "add", 0)
+    end_index = _seg_scatter(cap, tgt, jnp.where(valid, num, 0), "max", 0)
+    count = jnp.max(jnp.where(valid, l, 0)).astype(jnp.int32)
+
+    # startCoords: the (unique if start_count==1) number==1 pixel.
+    sp = _seg_scatter(cap, jnp.where(valid & (num == 1), l, cap), flat,
+                      "min", n)
+    sp_ok = sp < n
+    spc = jnp.clip(sp, 0, n - 1)
+    sx = jnp.where(sp_ok, px[spc], 0.0)
+    sy = jnp.where(sp_ok, py[spc], 0.0)
+
+    # endCoords: first pixel reaching the max number (atomic first-writer in
+    # the reference; deterministic min-flat-index winner here).
+    is_endpix = valid & (num == end_index[jnp.clip(l, 0, cap - 1)]) & (num > 0)
+    ep = _seg_scatter(cap, jnp.where(is_endpix, l, cap), flat, "min", n)
+    end_count = _seg_scatter(cap, jnp.where(is_endpix, l, cap), one, "add", 0)
+    ep_ok = ep < n
+    epc = jnp.clip(ep, 0, n - 1)
+    ex = jnp.where(ep_ok, px[epc], 0.0)
+    ey = jnp.where(ep_ok, py[epc], 0.0)
+
+    seg_id = jnp.arange(cap, dtype=jnp.int32)
+    alive = (start_count == 1) & (npix >= 2) & (end_count >= 1) & (seg_id > 0)
+    polyid = jnp.where(alive, seg_id, 0)
+
+    zeros = jnp.zeros((cap,), jnp.int32)
+    return SegmentArena(
+        sx=sx, sy=sy, ex=ex, ey=ey,
+        start_index=zeros, end_index=end_index,
+        left_ptr=zeros, right_ptr=zeros,
+        start_count=start_count, end_count=end_count,
+        polyid=polyid, npix=npix, level=zeros, count=count)
+
+
+def _closest_point_dist(sx, sy, ex, ey, px, py):
+    """Distance from (px,py) to segment (sx,sy)-(ex,ey) (closestPoint,
+    oclpolyline.cl:51-59: degenerate segments collapse to the start)."""
+    dx = ex - sx
+    dy = ey - sy
+    l2 = dx * dx + dy * dy
+    t = jnp.where(l2 > 1e-4, ((px - sx) * dx + (py - sy) * dy) /
+                  jnp.maximum(l2, 1e-4), 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    cx = sx + t * dx
+    cy = sy + t * dy
+    return jnp.hypot(cx - px, cy - py)
+
+
+def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
+                   n_iters: int):
+    """Iterative max-deviation subdivision (mkpl_pass1/2/3,
+    oclpolyline.cl:509-646; host loop N=16 at oclpolyline.c:186-216).
+
+    Each iteration: per-segment farthest-from-chord pixel; split there when
+    the deviation and shape tests pass; relabel pixels past splits one
+    right-pointer hop (as in the reference, propagation interleaves with
+    further subdivision).  Returns (arena, label).
+    """
+    h, w = label.shape
+    n = h * w
+    cap = arena.cap
+    px, py = _coords(h, w)
+    flat = jnp.arange(n, dtype=jnp.int32)
+    num = number.reshape(-1).astype(jnp.int32)
+    seg_id = jnp.arange(cap, dtype=jnp.int32)
+    minerr_fix = int(minerror * FIX)
+
+    def body(_, state):
+        a, lab = state
+        l = lab.reshape(-1)
+        lc = jnp.clip(l, 0, cap - 1)
+        live_px = (l > 0) & (l < cap) & (a.polyid[lc] != 0)
+
+        # pass1: fixed-point distance to the current chord, per pixel.
+        d = _closest_point_dist(a.sx[lc], a.sy[lc], a.ex[lc], a.ey[lc],
+                                px, py)
+        dist = (d * FIX).astype(jnp.int32)
+        dist = jnp.where(live_px, dist, -1)
+        tgt = jnp.where(live_px, l, cap)
+        maxdist = _seg_scatter(cap, tgt, dist, "max", -1)
+
+        # winner pixel: min flat index achieving the segment max (the
+        # reference uniquifies via rand XOR, oclpolyline.cl:536).
+        at_max = live_px & (dist == maxdist[lc]) & (maxdist[lc] >= 0)
+        winner = _seg_scatter(cap, jnp.where(at_max, l, cap), flat, "min", n)
+        has_w = winner < n
+        wc = jnp.clip(winner, 0, n - 1)
+        wx = px[wc]
+        wy = py[wc]
+        wn = num[wc]
+
+        # pass2 split conditions (oclpolyline.cl:564-577).
+        md = maxdist
+        mdf = md.astype(jnp.float32)
+        chord_sq = ((a.ex - a.sx) ** 2 + (a.ey - a.sy) ** 2)
+        curv_keep = ~((md < minerr_fix * 3) &
+                      (mdf * mdf / jnp.maximum(chord_sq, 1e-30) < 100000.0))
+        dss = (wx - a.sx) ** 2 + (wy - a.sy) ** 2
+        dse = (wx - a.ex) ** 2 + (wy - a.ey) ** 2
+        split = ((a.polyid != 0) & has_w
+                 & (a.end_index - a.start_index >= MINNINDEX - 1)
+                 & (a.start_count <= 1) & (a.end_count <= 1)
+                 & (md >= minerr_fix) & curv_keep
+                 & (dss >= MINEDGELEN * MINEDGELEN)
+                 & (dse >= MINEDGELEN * MINEDGELEN))
+
+        # deterministic allocation: rank split segments by id.
+        ranks = jnp.cumsum(split.astype(jnp.int32))
+        gn = a.count + ranks
+        split = split & (gn < cap)
+        gn = jnp.where(split, a.count + jnp.cumsum(split.astype(jnp.int32)),
+                       cap)
+        new_count = a.count + jnp.sum(split.astype(jnp.int32))
+
+        def put(arr, val):
+            return arr.at[gn].set(val.astype(arr.dtype), mode="drop")
+
+        # new segment gn covers [wn, end]; old g truncates to [start, wn].
+        sx2 = put(a.sx, wx)
+        sy2 = put(a.sy, wy)
+        ex2 = put(a.ex, a.ex)
+        ey2 = put(a.ey, a.ey)
+        sidx2 = put(a.start_index, wn)
+        eidx2 = put(a.end_index, a.end_index)
+        left2 = put(a.left_ptr, seg_id)
+        right2 = put(a.right_ptr, a.right_ptr)
+        polyid2 = put(a.polyid, a.polyid)
+        level2 = put(a.level, md)
+        npix2 = put(a.npix, jnp.zeros_like(a.npix))
+        sc2 = put(a.start_count, jnp.zeros_like(a.start_count))
+        ec2 = put(a.end_count, jnp.zeros_like(a.end_count))
+
+        # old right neighbor's left pointer -> gn (oclpolyline.cl:614).
+        gr_tgt = jnp.where(split & (a.right_ptr != 0), a.right_ptr, cap)
+        left2 = left2.at[gr_tgt].set(gn.astype(jnp.int32), mode="drop")
+
+        # update the old (split) segments in place.
+        upd = split
+        ex2 = jnp.where(upd, wx, ex2)
+        ey2 = jnp.where(upd, wy, ey2)
+        eidx2 = jnp.where(upd, wn, eidx2)
+        right2 = jnp.where(upd, gn, right2).astype(jnp.int32)
+
+        a2 = a._replace(sx=sx2, sy=sy2, ex=ex2, ey=ey2,
+                        start_index=sidx2.astype(jnp.int32),
+                        end_index=eidx2.astype(jnp.int32),
+                        left_ptr=left2.astype(jnp.int32),
+                        right_ptr=right2.astype(jnp.int32),
+                        start_count=sc2, end_count=ec2,
+                        polyid=polyid2.astype(jnp.int32),
+                        npix=npix2, level=level2.astype(jnp.int32),
+                        count=new_count.astype(jnp.int32))
+
+        # pass3: move pixels past the split one right-pointer hop.
+        move = live_px & (a2.end_index[lc] < num) & (a2.polyid[lc] != 0)
+        l_new = jnp.where(move, a2.right_ptr[lc], l)
+        return a2, l_new.reshape(h, w)
+
+    arena, label = jax.lax.fori_loop(0, n_iters - 1, body, (arena, label))
+    return arena, label
+
+
+def refine(arena: SegmentArena, label):
+    """Least-squares endpoint refinement + corner snapping (refine_pass0..3,
+    oclpolyline.cl:680-809).
+
+    The reference accumulates raw moments in 64-bit atomics and solves the
+    2x2 normal equations per segment.  With ax1 == |dir|^2 constant per
+    segment this is exactly a linear regression of the perpendicular
+    offset `ay` on the chord position `ax0` with an intercept; we compute
+    it with centered segment sums (same solution, f32-safe).
+    """
+    h, w = label.shape
+    cap = arena.cap
+    l = label.reshape(-1)
+    lc = jnp.clip(l, 0, cap - 1)
+    valid = (l > 0) & (l < cap)
+    tgt = jnp.where(valid, l, cap)
+    px, py = _coords(h, w)
+
+    dirx = jnp.rint(arena.ex - arena.sx)
+    diry = jnp.rint(arena.ey - arena.sy)
+    vdx = -diry
+    vdy = dirx
+    c = dirx * dirx + diry * diry                  # distSquSE
+
+    sxr = jnp.rint(arena.sx)
+    syr = jnp.rint(arena.sy)
+    vx = px - sxr[lc]
+    vy = py - syr[lc]
+    ax0 = vx * dirx[lc] + vy * diry[lc]
+    ay = vx * vdx[lc] + vy * vdy[lc]
+
+    nseg = _seg_scatter(cap, tgt, jnp.where(valid, 1.0, 0.0), "add", 0.0)
+    s_x = _seg_scatter(cap, tgt, jnp.where(valid, ax0, 0.0), "add", 0.0)
+    s_y = _seg_scatter(cap, tgt, jnp.where(valid, ay, 0.0), "add", 0.0)
+    nz = jnp.maximum(nseg, 1.0)
+    m_x = s_x / nz
+    m_y = s_y / nz
+    dx0 = ax0 - m_x[lc]
+    dy0 = ay - m_y[lc]
+    var = _seg_scatter(cap, tgt, jnp.where(valid, dx0 * dx0, 0.0), "add", 0.0)
+    cov = _seg_scatter(cap, tgt, jnp.where(valid, dx0 * dy0, 0.0), "add", 0.0)
+
+    # rdet == 0 in the reference <=> c == 0, n == 0, or integer variance 0.
+    # ax0 takes integer values, so any true nonzero centered variance is
+    # >= 0.5; below 0.25 is float noise around the degenerate case.
+    ok = (arena.polyid != 0) & (nseg > 0) & (c > 0) & (var > 0.25)
+    as0 = jnp.where(ok, cov / jnp.maximum(var, 1e-20), 0.0)
+    as1 = jnp.where(ok, (m_y - as0 * m_x) / jnp.maximum(c, 1e-20), 0.0)
+
+    sx = arena.sx + vdx * as1
+    sy = arena.sy + vdy * as1
+    ex = arena.ex + vdx * (as0 + as1)
+    ey = arena.ey + vdy * (as0 + as1)
+
+    # pass3: snap adjacent endpoints to the line-line intersection
+    # (oclpolyline.cl:772-809), from pre-snap coordinates (the reference
+    # tolerates read/write races here; this is the deterministic version).
+    rp = jnp.clip(arena.right_ptr, 0, cap - 1)
+    u0, u1 = sx[rp], sy[rp]
+    u2, u3 = ex[rp], ey[rp]
+    d = (ex - sx) * (u3 - u1) - (ey - sy) * (u2 - u0)
+    nq = (sy - u1) * (u2 - u0) - (sx - u0) * (u3 - u1)
+    q = nq / jnp.where(jnp.abs(d) < 1e-6, 1.0, d)
+    wx = sx + q * (ex - sx)
+    wy = sy + q * (ey - sy)
+    midx = (ex + u0) * 0.5
+    midy = (ey + u1) * 0.5
+    far = (jnp.hypot(wx - ex, wy - ey) > 10.0) & \
+          (jnp.hypot(wx - u0, wy - u1) > 10.0)
+    use_mid = (jnp.abs(d) < 1e-6) | far
+    nxx = jnp.where(use_mid, midx, wx)
+    nyy = jnp.where(use_mid, midy, wy)
+
+    applies = (arena.polyid != 0) & (arena.right_ptr != 0)
+    ex2 = jnp.where(applies, nxx, ex)
+    ey2 = jnp.where(applies, nyy, ey)
+    h_tgt = jnp.where(applies, arena.right_ptr, cap)
+    sx2 = sx.at[h_tgt].set(nxx, mode="drop")
+    sy2 = sy.at[h_tgt].set(nyy, mode="drop")
+
+    return arena._replace(sx=sx2, sy=sy2, ex=ex2, ey=ey2)
+
+
+def polyline_execute(edge_binary, minerror: float, size_thre: int,
+                     cap: int, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Full polyline pipeline: binary edge image -> (SegmentArena, lsid).
+
+    Mirrors oclpolyline_execute (oclpolyline.c:218-309): junction ->
+    gap bridging -> stringify x2 -> branch removal -> CCL -> loop breaking
+    -> arc numbering -> arc labeling -> size filter -> dense relabel ->
+    subdivision -> refinement.  lsid is the per-pixel segment-id map.
+    """
+    jn = morphology.simple_junction(edge_binary)
+    conn = morphology.simple_connect_poly(jn)
+    s = morphology.stringify(conn, 0)
+    s = morphology.stringify(s, 1)
+    strings = morphology.remove_branch(s)
+
+    label = label_components(strings, 0, cfg.ccl_passes, cfg.ccl_jumps)
+    jn2 = morphology.simple_junction(strings)
+    nends = count_ends(jn2, label)
+    strings, label = break_loops(strings, label, nends)
+
+    number, _, _ = arc_number(label, cfg.number_doublings)
+    arcs = label_arcs(number, cfg.labelpl_passes, cfg.labelpl_jumps)
+    sizes = component_sizes(arcs, ignore=0)
+    filtered = filter_size(arcs, sizes, size_thre)
+    dense, _ = relabel_dense(filtered)
+
+    arena = mkpl_init(dense, number, cap)
+    arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
+                                 cfg.mkpl_iters)
+    arena = refine(arena, lsid)
+    return arena, lsid

@@ -57,5 +57,8 @@ def border_mask(h: int, w: int, margin: int, dtype=jnp.bool_):
 
 # 8-neighborhood order used throughout the reference (oclpolyline.cl:63-64).
 NEIGH8 = ((0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1))
+# Alias emphasizing that getnp's first/second-neighbor semantics depend on
+# exactly this scan order (oclpolyline.cl:169-191).
+NEIGH8_REF = NEIGH8
 # 4-neighborhood (up, left, right, down) as used by labelMergeMain.
 NEIGH4 = ((-1, 0), (0, -1), (0, 1), (1, 0))
