@@ -1,0 +1,294 @@
+"""Region segmentation stages of the rect pipeline (oclrect.cl).
+
+Everything operates on the packed-Lab int32 plane (core/color.py) exactly
+like the reference, so integer-domain results (blblur's truncated integer
+averages, the quantize lattice) are bit-compatible.
+
+TPU formulation notes:
+  * blblur0/1 (oclrect.cl:155-205) are 9-tap directional scans with
+    data-dependent early termination.  The break conditions only look at a
+    static window, so the scan unrolls into cumulative-AND include masks
+    over statically shifted views — pure VPU, no gathers.
+  * mkMergeMask0/1 (oclrect.cl:246-287) scatter rings/disks around junction
+    pixels; scatter-by-structuring-element == dilation, computed as a conv
+    with a 0/1 kernel (MXU work).
+  * labelMergeMain (oclrect.cl:300-334) is the CCL skeleton with a
+    4-neighbor color/mask/edge predicate; atomic_min -> scatter-min.
+  * despeckle / despeckle2 pick the first-best candidate in the kernel's
+    yy/xx scan order; the select cascade preserves exactly that order.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rectdetect_tpu.core import color
+from rectdetect_tpu.ops.shifts import pad2d, shifted
+
+BLBLURSIZE = 4  # oclrect.cl:72
+
+
+def _coord_maps(h, w):
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.int32)[None, :]
+    return jnp.broadcast_to(yy, (h, w)), jnp.broadcast_to(xx, (h, w))
+
+
+def _blblur_axis(packed, edge, horizontal: bool):
+    """One blblur0 (horizontal) or blblur1 (vertical) pass
+    (oclrect.cl:155-205).  packed: (H,W) int32 packed Lab; edge: (H,W)
+    int32 0/1 (the int8 weak-edge map, oclrect.c:284)."""
+    h, w = packed.shape
+    yy, xx = _coord_maps(h, w)
+    cl, ca, cb = color.unpack_lab_int(packed)
+    chans = (cl, ca, cb)
+
+    ep = pad2d(edge, BLBLURSIZE + 1, "zero")
+    cps = [pad2d(c, BLBLURSIZE + 1, "zero") for c in chans]
+    r = BLBLURSIZE + 1
+
+    def ed(dy, dx):
+        return shifted(ep, r, dy, dx, h, w) != 0
+
+    def ch(i, dy, dx):
+        return shifted(cps[i], r, dy, dx, h, w)
+
+    def off(k):  # offset along the scan axis
+        return (0, k) if horizontal else (k, 0)
+
+    # cross-axis +1 offset used by the diagonal-corner break test
+    cross = (1, 0) if horizontal else (0, 1)
+    coord = xx if horizontal else yy
+    limit = w if horizontal else h
+    cross_coord = yy if horizontal else xx
+    cross_limit = h if horizontal else w
+
+    oe = ed(0, 0)
+    wsum = jnp.zeros((h, w), jnp.int32)
+    csum = [jnp.zeros((h, w), jnp.int32) for _ in range(3)]
+
+    # negative arm: k = 0, -1, ..., -BLBLURSIZE (oclrect.cl:162-169)
+    alive = jnp.ones((h, w), bool)
+    for k in range(0, -BLBLURSIZE - 1, -1):
+        q = coord + k
+        brk = q < 0
+        brk |= (q > 0) & ed(*off(k)) & ~ed(*off(k - 1))
+        brk |= ((q > 0) & (cross_coord < cross_limit - 1) & ~ed(*off(k)) &
+                ed(*off(k - 1)) &
+                ed(off(k)[0] + cross[0], off(k)[1] + cross[1]))
+        alive = alive & ~brk
+        wsum = wsum + alive
+        for i in range(3):
+            csum[i] = csum[i] + jnp.where(alive, ch(i, *off(k)), 0)
+
+    # positive arm: k = 0..BLBLURSIZE (oclrect.cl:171-178)
+    alive = jnp.ones((h, w), bool)
+    for k in range(0, BLBLURSIZE + 1):
+        q = coord + k
+        brk = q > limit - 1
+        brk |= (q < limit - 1) & ~ed(*off(k)) & ed(*off(k + 1))
+        brk |= oe & ~ed(*off(k))
+        alive = alive & ~brk
+        wsum = wsum + alive
+        for i in range(3):
+            csum[i] = csum[i] + jnp.where(alive, ch(i, *off(k)), 0)
+
+    ws = jnp.maximum(wsum, 1)
+    avg = [c // ws for c in csum]  # int truncation like int3/int
+    blurred = color.pack_lab_int(avg[0], avg[1], avg[2])
+    return jnp.where(wsum == 0, packed, blurred)
+
+
+def blblur(packed, edge, iters: int = 10):
+    """Edge-limited blur: `iters` rounds of horizontal+vertical passes
+    (oclrect.c:286-296)."""
+    def body(_, p):
+        p = _blblur_axis(p, edge, True)
+        p = _blblur_axis(p, edge, False)
+        return p
+    return jax.lax.fori_loop(0, iters, body, packed)
+
+
+def quantize_packed(packed, n0: int = 24, n1: int = 24, n2: int = 24):
+    """Quantize unpacked Lab floats to n levels and repack
+    (quantize, oclrect.cl:207-216).  OpenCL round() is half-away-from-zero;
+    values are non-negative so floor(x+0.5) matches."""
+    v = color.unpack_labf(packed)
+    n = jnp.asarray([n0, n1, n2], jnp.float32)
+    q = jnp.floor(v * n + 0.5) / n
+    return color.pack_lab(q)
+
+
+def despeckle(packed, edge_mag):
+    """On-edge pixels take the nearest-color off-edge 3x3 neighbor
+    (despeckle, oclrect.cl:218-244).  edge_mag: (H,W) float (thinthres
+    output, buf[1]); 'edge' means edge_mag >= 1e-6."""
+    h, w = packed.shape
+    yy, xx = _coord_maps(h, w)
+    on_edge = edge_mag >= 1e-6
+    lab = color.unpack_labf(packed)
+
+    pp = pad2d(packed, 1, "zero")
+    lp = pad2d(lab.transpose(2, 0, 1), 1, "zero")
+    egp = pad2d(on_edge, 1, "zero", constant=True)
+
+    best_d = jnp.full((h, w), 1e10, jnp.float32)
+    best = packed
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            inb = ((yy + dy >= 0) & (yy + dy < h) &
+                   (xx + dx >= 0) & (xx + dx < w))
+            cand_edge = shifted(egp, 1, dy, dx, h, w)
+            labn = shifted(lp, 1, dy, dx, h, w)
+            d = jnp.sqrt(jnp.sum((labn.transpose(1, 2, 0) - lab) ** 2,
+                                 axis=-1))
+            ok = inb & ~cand_edge
+            take = ok & (d < best_d)
+            best_d = jnp.where(take, d, best_d)
+            best = jnp.where(take, shifted(pp, 1, dy, dx, h, w), best)
+    return jnp.where(on_edge, best, packed)
+
+
+def _disk_offsets(rmax, lo_sq, hi_sq):
+    ker = np.zeros((2 * rmax + 1, 2 * rmax + 1), np.float32)
+    for dy in range(-rmax, rmax + 1):
+        for dx in range(-rmax, rmax + 1):
+            if lo_sq <= dy * dy + dx * dx < hi_sq:
+                ker[dy + rmax, dx + rmax] = 1.0
+    return ker
+
+
+def _dilate(mask, kernel_np):
+    """Binary dilation by a 0/1 structuring element via conv (MXU)."""
+    h, w = mask.shape
+    k = jnp.asarray(kernel_np)[None, None]
+    x = mask.astype(jnp.float32)[None, None]
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1),
+        padding=[(kernel_np.shape[0] // 2,) * 2,
+                 (kernel_np.shape[1] // 2,) * 2])
+    return y[0, 0] > 0.5
+
+
+_RING_16_36 = _disk_offsets(6, 16, 36)    # mkMergeMask0, oclrect.cl:252-258
+_DISK_64 = _disk_offsets(8, 0, 64)        # mkMergeMask1 ends, oclrect.cl:268
+_DISK_16 = _disk_offsets(4, 0, 16)        # mkMergeMask1 junctions, :278
+
+
+def merge_mask(junction):
+    """mkMergeMask0 + mkMergeMask1 (oclrect.cl:246-287): force-merge ring
+    around junctions, cleared near line ends (junction==2, disk r8) and
+    junction cores (junction>2, disk r4)."""
+    any_jn = junction != 0
+    ends = junction == 2
+    other = any_jn & ~ends
+    m = _dilate(any_jn, _RING_16_36)
+    clear = _dilate(ends, _DISK_64) | _dilate(other, _DISK_16)
+    return (m & ~clear).astype(jnp.int32)
+
+
+def label_merge(packed, mask, edge_label, n_passes: int = 8,
+                n_jumps: int = 8):
+    """Region-merge CCL (labelxPreprocess + labelMergeMain x8,
+    oclrect.cl:289-334): 4-neighbor min-label propagation where the
+    quantized colors match OR the merge mask is set, blocked by strong
+    edges (edge_label > 0) with the reference's up/left-vs-right/down
+    asymmetry.  Every pixel is foreground."""
+    h, w = packed.shape
+    n = h * w
+    idx2d = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+
+    up_same = jnp.zeros((h, w), bool).at[1:, :].set(
+        packed[1:, :] == packed[:-1, :])
+    left_same = jnp.zeros((h, w), bool).at[:, 1:].set(
+        packed[:, 1:] == packed[:, :-1])
+    label = jnp.where(up_same, idx2d - w,
+                      jnp.where(left_same, idx2d - 1, idx2d))
+
+    yy, xx = _coord_maps(h, w)
+    interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
+
+    pk = pad2d(packed, 1, "zero", constant=-12345)
+    eg = pad2d(edge_label, 1, "zero", constant=0)
+    blocked_here = edge_label > 0
+    mask_set = mask != 0
+
+    def one_pass(label):
+        lbl2d = label.reshape(h, w)
+        lp = pad2d(lbl2d, 1, "zero", constant=n)
+        g = lbl2d
+        for dy, dx, edge_at_nb in ((-1, 0, False), (0, -1, False),
+                                   (0, 1, True), (1, 0, True)):
+            cand = shifted(lp, 1, dy, dx, h, w)
+            same = (shifted(pk, 1, dy, dx, h, w) == packed) | mask_set
+            if edge_at_nb:
+                blk = shifted(eg, 1, dy, dx, h, w) > 0
+            else:
+                blk = blocked_here
+            ok = same & ~blk & interior
+            g = jnp.minimum(g, jnp.where(ok, cand, n))
+        g = g.reshape(-1)
+        ext = jnp.concatenate([label, jnp.asarray([n], jnp.int32)])
+        for _ in range(n_jumps):
+            g = ext[g]
+        og = label
+        new = label.at[og].min(g, mode="drop")
+        return jnp.minimum(new, g)
+
+    label = label.reshape(-1)
+    for _ in range(n_passes):
+        label = one_pass(label)
+    ext = jnp.concatenate([label, jnp.asarray([n], jnp.int32)])
+    for _ in range(4):
+        ext = ext[ext]
+    return ext[:-1].reshape(h, w).astype(jnp.int32)
+
+
+def label_sizes(label):
+    """calcSize (oclrect.cl:336-348): histogram over all labels (no
+    background here)."""
+    h, w = label.shape
+    n = h * w
+    lbl = label.reshape(-1)
+    tgt = jnp.clip(lbl, 0, n - 1)
+    return jnp.zeros((n,), jnp.int32).at[tgt].add(1)
+
+
+def despeckle2(label, sizes, thre: int = 16):
+    """Components <= thre px absorb the largest 3x3 neighbor label
+    (despeckle2, oclrect.cl:350-371); first-max in yy/xx scan order."""
+    h, w = label.shape
+    n = h * w
+    yy, xx = _coord_maps(h, w)
+    sz_at = sizes[jnp.clip(label, 0, n - 1)]
+    small = sz_at <= thre
+
+    lp = pad2d(label, 1, "zero", constant=0)
+    best_sz = jnp.zeros((h, w), jnp.int32)
+    best_lb = label
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            inb = ((yy + dy >= 0) & (yy + dy < h) &
+                   (xx + dx >= 0) & (xx + dx < w))
+            cand = shifted(lp, 1, dy, dx, h, w)
+            s = sizes[jnp.clip(cand, 0, n - 1)]
+            take = inb & (s > best_sz)
+            best_sz = jnp.where(take, s, best_sz)
+            best_lb = jnp.where(take, cand, best_lb)
+    return jnp.where(small, best_lb, label).astype(jnp.int32)
+
+
+def mark_boundary(label):
+    """Pixels within 2 px of a different region keep their label, others
+    get -1 (markBoundary, oclrect.cl:373-390); 2px borders are -1."""
+    h, w = label.shape
+    yy, xx = _coord_maps(h, w)
+    interior = (yy >= 2) & (yy < h - 2) & (xx >= 2) & (xx < w - 2)
+    lp = pad2d(label, 2, "edge")
+    diff = jnp.zeros((h, w), bool)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            diff = diff | (shifted(lp, 2, dy, dx, h, w) != label)
+    return jnp.where(interior & diff, label, -1).astype(jnp.int32)

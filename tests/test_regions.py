@@ -1,0 +1,120 @@
+"""Region-stage kernels vs the golden model (oclrect.cl:155-390)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from golden import regions as greg
+from rectdetect_tpu.core import color
+from rectdetect_tpu.ops import regions as treg
+
+
+def make_scene(h=36, w=48, seed=1):
+    """Packed-Lab image with colored blocks + a weak-edge map + junctions."""
+    r = np.random.default_rng(seed)
+    labf = np.zeros((h, w, 3), np.float32)
+    labf[..., 0] = 0.2
+    labf[..., 1] = 0.5
+    labf[..., 2] = 0.5
+    labf[6:20, 8:24, 0] = 0.31
+    labf[6:20, 8:24, 1] = 0.62
+    labf[14:30, 28:44, 0] = 0.12
+    labf[14:30, 28:44, 2] = 0.4
+    labf += r.normal(0, 0.002, labf.shape).astype(np.float32)
+    labf = np.clip(labf, 0, 0.999)
+    packed = np.asarray(color.pack_lab(jnp.asarray(labf)))
+
+    edge = np.zeros((h, w), np.int64)
+    edge[6, 8:24] = 1
+    edge[19, 8:24] = 1
+    edge[6:20, 8] = 1
+    edge[6:20, 23] = 1
+    edge[14, 28:44] = 1
+    edge[25, 30:40] = 1
+    edge[10:14, 30] = 1
+    return packed.astype(np.int64), edge
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene()
+
+
+def test_blblur_single_passes(scene):
+    packed, edge = scene
+    g0 = greg.blblur0(packed, edge)
+    t0 = np.asarray(treg._blblur_axis(jnp.asarray(packed.astype(np.int32)),
+                                      jnp.asarray(edge.astype(np.int32)),
+                                      True))
+    np.testing.assert_array_equal(t0.astype(np.int64) & 0xffffffff, g0 & 0xffffffff)
+    g1 = greg.blblur1(g0, edge)
+    t1 = np.asarray(treg._blblur_axis(jnp.asarray(t0),
+                                      jnp.asarray(edge.astype(np.int32)),
+                                      False))
+    np.testing.assert_array_equal(t1.astype(np.int64) & 0xffffffff, g1 & 0xffffffff)
+
+
+def test_blblur_iterated(scene):
+    packed, edge = scene
+    g = packed
+    for _ in range(3):
+        g = greg.blblur0(g, edge)
+        g = greg.blblur1(g, edge)
+    t = np.asarray(treg.blblur(jnp.asarray(packed.astype(np.int32)),
+                               jnp.asarray(edge.astype(np.int32)), 3))
+    np.testing.assert_array_equal(t.astype(np.int64) & 0xffffffff, g & 0xffffffff)
+
+
+def test_quantize(scene):
+    packed, _ = scene
+    g = greg.quantize(packed, 24)
+    t = np.asarray(treg.quantize_packed(jnp.asarray(packed.astype(np.int32))))
+    np.testing.assert_array_equal(t.astype(np.int64) & 0xffffffff, g & 0xffffffff)
+
+
+def test_despeckle(scene):
+    packed, edge = scene
+    em = edge.astype(np.float32) * 3.0   # edge magnitude proxy
+    g = greg.despeckle(packed, em)
+    t = np.asarray(treg.despeckle(jnp.asarray(packed.astype(np.int32)),
+                                  jnp.asarray(em)))
+    np.testing.assert_array_equal(t.astype(np.int64) & 0xffffffff, g & 0xffffffff)
+
+
+def test_merge_mask():
+    jn = np.zeros((40, 40), np.int64)
+    jn[10, 10] = 3     # junction core
+    jn[25, 30] = 2     # line end
+    jn[30, 8] = 4
+    g = greg.merge_mask(jn)
+    t = np.asarray(treg.merge_mask(jnp.asarray(jn.astype(np.int32))))
+    np.testing.assert_array_equal(t, g)
+
+
+def test_label_merge_and_despeckle2(scene):
+    packed, edge = scene
+    em = edge.astype(np.float32) * 3.0
+    q = greg.quantize(packed, 24)
+    d = greg.despeckle(q, em)
+    mask = greg.merge_mask(np.zeros_like(edge))
+    # strong-edge label image: edge pixels get positive labels, rest -1
+    elab = np.where(edge != 0, np.arange(edge.size).reshape(edge.shape) + 1,
+                    -1)
+    g = greg.label_merge(d, mask, elab)
+    t = np.asarray(treg.label_merge(jnp.asarray(d.astype(np.int32)),
+                                    jnp.asarray(mask.astype(np.int32)),
+                                    jnp.asarray(elab.astype(np.int32))))
+    np.testing.assert_array_equal(t, g)
+
+    gs = greg.label_sizes(g)
+    ts = np.asarray(treg.label_sizes(jnp.asarray(t)))
+    np.testing.assert_array_equal(ts, gs[:ts.size])
+
+    g2 = greg.despeckle2(g, gs, 16)
+    t2 = np.asarray(treg.despeckle2(jnp.asarray(t), jnp.asarray(
+        ts.astype(np.int32)), 16))
+    np.testing.assert_array_equal(t2, g2)
+
+    gb = greg.mark_boundary(g2)
+    tb = np.asarray(treg.mark_boundary(jnp.asarray(t2)))
+    np.testing.assert_array_equal(tb, gb)
