@@ -1,0 +1,193 @@
+"""Segment <-> region-boundary association and hypothesis grouping.
+
+Covers the reference's reduceLS kernel (oclrect.cl:427-464) and the group-
+building half of executeCPUTask (oclrect.c:1064-1114, 1175-1188), moved
+on-chip:
+
+  * reduceLS hashes (lsid * bid) into an open table of bbox entries with
+    atomic_cmpxchg claims — first claimant wins, colliding pairs are
+    dropped nondeterministically.  Here the slot owner is the
+    lexicographically smallest (lsid, bid) claimant (deterministic,
+    same relation, collisions still dropped).
+  * the per-pixel 7x7 window scan keeps up to `k_slots` distinct boundary
+    ids per pixel (the reference keeps all 49 with consecutive-dedup; >4
+    distinct region boundaries within 3 px of one pixel is degenerate).
+  * the CPU's ArrayMap of segid -> {lsid} sets becomes a dense membership
+    matrix over (boundary group, segment id), built by scatter from the
+    same 3x5 probe pattern (oclrect.c:1070-1096).
+  * the polyline walk (source B, oclrect.c:1175-1188) becomes pointer
+    doubling over left_ptr to find each segment's chain head.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from rectdetect_tpu.ops.shifts import pad2d, shifted
+
+
+class PairTable(NamedTuple):
+    """Deterministic stand-in for the reduceLS hash table."""
+    owner_lsid: jnp.ndarray   # (nentry,) int32, 0 = empty
+    owner_bid: jnp.ndarray    # (nentry,) int32
+    bb: jnp.ndarray           # (nentry, 4) int32: max(iw-x), max(x), max(ih-y), max(y)
+
+
+def _hash(lsid, bid, nentry: int):
+    """The reference's slot hash ((uint)lsid*(uint)bid & 0x7fffffff) %
+    nentry (oclrect.cl:448)."""
+    prod = (lsid.astype(jnp.uint32) * bid.astype(jnp.uint32)) & jnp.uint32(
+        0x7fffffff)
+    return (prod % jnp.uint32(nentry)).astype(jnp.int32)
+
+
+def _distinct_bids(boundary, k_slots: int):
+    """Up to k_slots distinct positive boundary ids in each pixel's 7x7
+    window, in scan order (oclrect.cl:441-447)."""
+    h, w = boundary.shape
+    bp = pad2d(boundary, 3, "zero", constant=0)
+    slots = [jnp.zeros((h, w), jnp.int32) for _ in range(k_slots)]
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            b = shifted(bp, 3, dy, dx, h, w)
+            fresh = b > 0
+            for s in slots:
+                fresh = fresh & (s != b)
+            for i in range(k_slots):
+                free = slots[i] == 0
+                put = fresh & free
+                slots[i] = jnp.where(put, b, slots[i])
+                fresh = fresh & ~put
+    return slots
+
+
+def pair_bbox_table(boundary, lsid_img, nentry: int, k_slots: int = 4):
+    """Build the (segment, boundary) -> clip-bbox table (reduceLS,
+    oclrect.cl:427-464)."""
+    h, w = boundary.shape
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.int32)[None, :]
+    interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
+    lsid = jnp.where(interior & (lsid_img > 0), lsid_img, 0)
+
+    slots = _distinct_bids(boundary, k_slots)
+    big = jnp.int32(2 ** 30)
+
+    owner_lsid = jnp.full((nentry + 1,), big, jnp.int32)
+    flat_ls = lsid.reshape(-1)
+    pairs = []
+    for s in slots:
+        bid = s.reshape(-1)
+        v = (flat_ls > 0) & (bid > 0)
+        hsh = jnp.where(v, _hash(flat_ls, bid, nentry), nentry)
+        pairs.append((bid, v, hsh))
+        owner_lsid = owner_lsid.at[hsh].min(jnp.where(v, flat_ls, big),
+                                            mode="drop")
+
+    owner_bid = jnp.full((nentry + 1,), big, jnp.int32)
+    for bid, v, hsh in pairs:
+        mine = v & (owner_lsid[hsh] == flat_ls)
+        owner_bid = owner_bid.at[hsh].min(jnp.where(mine, bid, big),
+                                          mode="drop")
+
+    bb = jnp.zeros((nentry + 1, 4), jnp.int32)
+    xf = jnp.broadcast_to(xx, (h, w)).reshape(-1)
+    yf = jnp.broadcast_to(yy, (h, w)).reshape(-1)
+    vals = jnp.stack([w - xf, xf, h - yf, yf], axis=1)
+    for bid, v, hsh in pairs:
+        mine = v & (owner_lsid[hsh] == flat_ls) & (owner_bid[hsh] == bid)
+        tgt = jnp.where(mine, hsh, nentry)
+        bb = bb.at[tgt].max(jnp.where(mine[:, None], vals, 0), mode="drop")
+
+    owner_lsid = jnp.where(owner_lsid == big, 0, owner_lsid)
+    owner_bid = jnp.where(owner_bid == big, 0, owner_bid)
+    return PairTable(owner_lsid[:nentry], owner_bid[:nentry], bb[:nentry])
+
+
+def densify_labels(label, bg: int = -1):
+    """Dense ids 1..count for a min-flat-index label image.
+
+    Returns (dense (H,W), table (H*W+1,) flat->dense, roots (as flat
+    indices, gathered later via `root_of`), count)."""
+    h, w = label.shape
+    n = h * w
+    flat = label.reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_root = (flat == idx) & (flat != bg)
+    rank = jnp.cumsum(is_root.astype(jnp.int32))
+    table = jnp.where(is_root, rank, 0).astype(jnp.int32)
+    dense = jnp.where(flat != bg, table[jnp.clip(flat, 0, n - 1)], 0)
+    return dense.reshape(h, w), table, rank[-1]
+
+
+def probe_membership(boundary, arena, n_groups: int, table,
+                     probe_n: int = 3, probe_dist: int = 2):
+    """Membership matrix M[group, lsid] from the 3x5 probe pattern around
+    each live segment (oclrect.c:1070-1096).
+
+    boundary: (H,W) boundary-label image (flat-index labels, -1 bg);
+    table: flat->dense id map from densify_labels.  Group g = dense
+    boundary id g (1..n_groups)."""
+    h, w = boundary.shape
+    cap = arena.cap
+    live = arena.polyid != 0
+    x0 = jnp.rint(arena.sx)
+    y0 = jnp.rint(arena.sy)
+    x1 = jnp.rint(arena.ex)
+    y1 = jnp.rint(arena.ey)
+    dx = x1 - x0
+    dy = y1 - y0
+    ln = jnp.sqrt(dx * dx + dy * dy)
+    vdx = -dy / jnp.maximum(ln, 1e-20)
+    vdy = dx / jnp.maximum(ln, 1e-20)
+
+    m = jnp.zeros((n_groups + 1, cap), bool)
+    lsids = jnp.arange(cap, dtype=jnp.int32)
+    for j in range(probe_n):
+        fj = (j + 0.5) / probe_n
+        px = x0 + dx * fj
+        py = y0 + dy * fj
+        for dist in range(-probe_dist, probe_dist + 1):
+            cx = jnp.floor(px + vdx * dist + 0.5).astype(jnp.int32)
+            cy = jnp.floor(py + vdy * dist + 0.5).astype(jnp.int32)
+            inb = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h) & live
+            flat = jnp.clip(cy, 0, h - 1) * w + jnp.clip(cx, 0, w - 1)
+            segid = boundary.reshape(-1)[flat]
+            ok = inb & (segid > 0)
+            dense = jnp.where(ok, table[jnp.clip(segid, 0, h * w - 1)], 0)
+            dense = jnp.where(dense <= n_groups, dense, 0)
+            m = m.at[(dense, lsids)].set(True, mode="drop")
+    return m.at[0].set(False)
+
+
+def chain_heads(arena, n_doublings: int = 13):
+    """Chain head of every segment by pointer doubling over left_ptr
+    (source B walks rightPtr from heads, oclrect.c:1175-1188)."""
+    cap = arena.cap
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    ptr = jnp.where(arena.left_ptr > 0, arena.left_ptr, ids)
+    for _ in range(n_doublings):
+        ptr = ptr[ptr]
+    return ptr
+
+
+def chain_membership(arena, n_groups: int, ls_thre: float = 32.0):
+    """Membership matrix for polyline groups: head-dense-id x lsid.
+
+    Returns (m (n_groups+1, cap) bool, head_rank table (cap,))."""
+    cap = arena.cap
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    heads = chain_heads(arena)
+    is_head = (arena.polyid != 0) & (arena.left_ptr <= 0) & (ids > 0)
+    rank = jnp.cumsum(is_head.astype(jnp.int32))
+    head_dense = jnp.where(is_head, rank, 0).astype(jnp.int32)
+
+    sq = (arena.ex - arena.sx) ** 2 + (arena.ey - arena.sy) ** 2
+    member = (arena.polyid != 0) & (sq > ls_thre * ls_thre)
+    g = head_dense[heads]
+    g = jnp.where(member & (g > 0) & (g <= n_groups), g, 0)
+    m = jnp.zeros((n_groups + 1, cap), bool)
+    m = m.at[(g, ids)].set(True, mode="drop")
+    return m.at[0].set(False), head_dense

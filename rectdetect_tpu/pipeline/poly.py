@@ -1,0 +1,52 @@
+"""The poly/vidpoly pipeline: frame -> refined line segments.
+
+Mirrors poly.cpp:104-123 / vidpoly.cpp:151-166: edge front-end, weak-edge
+strength filter, then the full polyline stage."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from rectdetect_tpu.config import PipelineConfig, DEFAULT_CONFIG
+from rectdetect_tpu.ops import ccl, morphology, polyline
+from rectdetect_tpu.pipeline.frontend import edge_frontend
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "minerror", "size_thre",
+                                             "strength"))
+def poly_frame(bgr, cfg: PipelineConfig = DEFAULT_CONFIG,
+               minerror: float = 1.0, size_thre: int = 20,
+               strength: int = 500):
+    """BGR (H,W,3) uint8 -> (SegmentArena, lsid image).
+
+    Defaults are the poly tool's (poly.cpp:120-123); vidpoly uses
+    strength=2000, size_thre=10 (vidpoly.cpp:158-166)."""
+    h, w = bgr.shape[:2]
+    fe = edge_frontend(bgr, cfg)
+
+    lbl = ccl.label_components(fe.edge_bin, 0, cfg.ccl_passes, cfg.ccl_jumps)
+    st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
+    lbl = ccl.filter_strength(lbl, st, strength)
+    edge = (lbl > 0).astype(jnp.int32)
+
+    cap = cfg.ls_cap_for(w, h)
+    return polyline.polyline_execute(edge, minerror, size_thre, cap, cfg)
+
+
+def live_segments(arena):
+    """Host-side convenience: list of (x0, y0, x1, y1, polyid, left, right)
+    for live segments (mirrors the poly.cpp:137-154 drawing walk)."""
+    import numpy as np
+    a = {k: np.asarray(v) for k, v in arena._asdict().items()}
+    out = []
+    for g in range(1, int(a["count"]) + 1):
+        if a["polyid"][g] == 0:
+            continue
+        out.append((float(a["sx"][g]), float(a["sy"][g]),
+                    float(a["ex"][g]), float(a["ey"][g]),
+                    int(a["polyid"][g]), int(a["left_ptr"][g]),
+                    int(a["right_ptr"][g])))
+    return out

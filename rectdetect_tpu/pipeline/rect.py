@@ -1,0 +1,182 @@
+"""The rect/vidrect pipeline: frame -> detected rectangles with 3D pose.
+
+Single jitted XLA program reproducing the reference's per-frame DAG
+(genGPUTask, oclrect.c:235-381) AND its CPU hypothesis/pose stage
+(executeCPUTask, oclrect.c:1049-1226) — the latter moved on-chip and
+batched (SURVEY.md §7: the biggest architectural departure; it removes the
+per-frame device->host roundtrip of the segment arena, hash table and
+boundary map).
+
+Stage order and constants follow the citations inline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rectdetect_tpu.config import PipelineConfig, DEFAULT_CONFIG
+from rectdetect_tpu.geometry import pose as gpose
+from rectdetect_tpu.geometry import quad as gquad
+from rectdetect_tpu.geometry.clip import clip_segments
+from rectdetect_tpu.ops import ccl, morphology, polyline, regions, reduce_ls
+from rectdetect_tpu.pipeline.frontend import edge_frontend
+
+
+class RectResult(NamedTuple):
+    """Detected rectangles; fixed capacity G with a valid mask (the
+    reference returns a dynamic rect_t list, oclrect.h:5-15)."""
+    c2: jnp.ndarray      # (G,4,2) image-space corners, top-left first
+    c3: jnp.ndarray      # (G,4,3) 3D corners (unit-side scale)
+    value: jnp.ndarray   # (G,) pose residual
+    status: jnp.ndarray  # (G,) bit0: looks like a screen; bit1: polyline src
+    valid: jnp.ndarray   # (G,) hypothesis survived reduction
+
+
+def _members_from_matrix(m, n_groups: int, k: int):
+    """First k member segment ids per group from a membership matrix
+    (n_groups+1, cap) -> (ids (n_groups, k), valid (n_groups, k))."""
+    cap = m.shape[1]
+    lsids = jnp.arange(cap, dtype=jnp.int32)
+    score = jnp.where(m[1:], cap - lsids[None, :], 0)
+    vals, idx = jax.lax.top_k(score, k)
+    return idx.astype(jnp.int32), vals > 0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iw", "ih"))
+def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
+                cfg: PipelineConfig):
+    """Both hypothesis sources -> (segs (G,K,2,2), valid (G,K),
+    status_base (G,)) ready for reduction."""
+    gmax = cfg.max_groups
+    k = cfg.max_group_segs
+    cap = arena.cap
+    nentry = iw * ih * 4 // 5
+
+    table = reduce_ls.pair_bbox_table(boundary, lsid, nentry)
+    dense, flat2dense, _ = reduce_ls.densify_labels(boundary, bg=-1)
+
+    # --- source A: region boundaries (oclrect.c:1064-1171) ---------------
+    m_a = reduce_ls.probe_membership(boundary, arena, gmax, flat2dense,
+                                     cfg.probe_n, cfg.probe_dist)
+    counts = jnp.sum(m_a, axis=1)
+    # boundary group g's original (flat) label = its root pixel index
+    n = iw * ih
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    flatb = boundary.reshape(-1)
+    is_root = (flatb == idxs) & (flatb >= 0)
+    roots = jnp.zeros((gmax + 1,), jnp.int32).at[
+        jnp.where(is_root, flat2dense[jnp.clip(flatb, 0, n - 1)],
+                  gmax + 1)].set(idxs, mode="drop")
+
+    ids_a, mv_a = _members_from_matrix(m_a, gmax, k)
+    group_ok_a = counts[1:] >= 4                        # oclrect.c:1108
+
+    seg_xy = jnp.stack([arena.sx, arena.sy, arena.ex, arena.ey], axis=1)
+    raw_a = seg_xy[ids_a]                               # (G,K,4)
+    segid_a = roots[1:][:, None].astype(jnp.int32)      # (G,1) flat label
+    hsh = reduce_ls._hash(ids_a, jnp.broadcast_to(segid_a, ids_a.shape),
+                          nentry)
+    own_ls = table.owner_lsid[hsh]
+    own_bid = table.owner_bid[hsh]
+    bb = table.bb[hsh]                                  # (G,K,4)
+    boxes = jnp.stack([iw - bb[..., 0], ih - bb[..., 2],
+                       bb[..., 1], bb[..., 3]], axis=-1).astype(jnp.float32)
+    clipped = clip_segments(raw_a, boxes)
+    owned = (own_ls == ids_a) & (own_bid == segid_a)
+    empty = own_ls == 0
+    # owner match -> clipped (dropped if clip rejects); other nonzero
+    # owner -> unclipped; empty slot -> dropped (oclrect.c:1116-1131)
+    use = jnp.where(owned[..., None], clipped, raw_a)
+    valid_a = mv_a & group_ok_a[:, None] & ~empty & \
+        ~(owned & jnp.isnan(clipped[..., 0]))
+    segs_a = jnp.nan_to_num(use).reshape(gmax, k, 2, 2)
+
+    # --- source B: whole polylines (oclrect.c:1175-1217) -----------------
+    m_b, _ = reduce_ls.chain_membership(arena, gmax,
+                                        cfg.ls_min_len_polyline)
+    ids_b, mv_b = _members_from_matrix(m_b, gmax, k)
+    segs_b = seg_xy[ids_b].reshape(gmax, k, 2, 2)
+
+    segs = jnp.concatenate([segs_a, segs_b], axis=0)
+    valid = jnp.concatenate([valid_a, mv_b], axis=0)
+    status = jnp.concatenate([jnp.zeros((gmax,), jnp.int32),
+                              jnp.full((gmax,), 2, jnp.int32)])
+    return segs, valid, status
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rect_frame(bgr, tan_aov, cfg: PipelineConfig = DEFAULT_CONFIG
+               ) -> RectResult:
+    """BGR (H,W,3) uint8 frame -> RectResult."""
+    ih, iw = bgr.shape[:2]
+    fe = edge_frontend(bgr, cfg)
+
+    # weak/strong edge labeling (oclrect.c:262-312)
+    jn = morphology.simple_junction(fe.edge_bin, positive_only=True)
+    conn = morphology.simple_connect_rect(jn)
+    s = morphology.stringify(conn, 0)
+    s = morphology.stringify(s, 1)
+    lbl = ccl.label_components(s, -1, cfg.ccl_passes, cfg.ccl_jumps)
+    st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
+    weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
+    weak_bin = (weak_lbl > 0).astype(jnp.int32)
+
+    # edge-limited blur + quantize + despeckle (oclrect.c:286-303)
+    blurred = regions.blblur(fe.packed0, weak_bin, cfg.blblur_iters)
+    quant = regions.quantize_packed(blurred, cfg.quantize_levels,
+                                    cfg.quantize_levels, cfg.quantize_levels)
+    despeck = regions.despeckle(quant, fe.edge_thin)
+
+    # strong edges (oclrect.c:307-312)
+    strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)
+    strong_bin = (strong_lbl > 0).astype(jnp.int32)
+
+    # merge masks + region CCL + cleanup (oclrect.c:314-336)
+    jn2 = morphology.simple_junction(strong_lbl, positive_only=True)
+    mask = regions.merge_mask(jn2)
+    seg = regions.label_merge(despeck, mask, strong_lbl,
+                              cfg.labelmerge_passes, cfg.labelmerge_jumps)
+    sizes = regions.label_sizes(seg)
+    seg = regions.despeckle2(seg, sizes, cfg.despeckle2_thre)
+
+    # boundary labeling (oclrect.c:340-342)
+    bmark = regions.mark_boundary(seg)
+    boundary = ccl.label_components(bmark, -1, cfg.ccl_passes, cfg.ccl_jumps)
+
+    # polylines on strong edges (oclrect.c:361)
+    cap = cfg.ls_cap_for(iw, ih)
+    arena, lsid = polyline.polyline_execute(strong_bin, cfg.minerror_rect,
+                                            cfg.size_thre_rect, cap, cfg)
+
+    # hypotheses + reduction + pose (oclrect.c:1049-1226, on-chip)
+    segs, valid, status = _hypotheses(arena, lsid, boundary, iw, ih, cfg)
+    corners, ok = gquad.reduce_groups(segs, valid, cfg.hull_max_vertices)
+    c2, c3, val = gpose.pose_estimate(corners, iw, ih, tan_aov,
+                                      cfg.cg_iters, cfg.cg_line_search_iters)
+    screen = gpose.looks_like_a_screen(c2, c3, val, cfg.accept_value,
+                                       cfg.aspect_limit,
+                                       cfg.offset_ratio_limit)
+    status = status | jnp.where(screen, 1, 0)
+    return RectResult(c2=c2, c3=c3, value=val, status=status, valid=ok)
+
+
+def live_rects(res: RectResult):
+    """Host-side: list of dicts for surviving hypotheses (mirrors the
+    rect_t list consumption, rect.cpp:107-121)."""
+    import numpy as np
+    c2 = np.asarray(res.c2)
+    c3 = np.asarray(res.c3)
+    val = np.asarray(res.value)
+    stat = np.asarray(res.status)
+    ok = np.asarray(res.valid)
+    out = []
+    for i in range(c2.shape[0]):
+        if not ok[i]:
+            continue
+        out.append({"c2": c2[i], "c3": c3[i], "value": float(val[i]),
+                    "status": int(stat[i])})
+    return out

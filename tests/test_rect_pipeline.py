@@ -1,0 +1,87 @@
+"""End-to-end rect pipeline + reduceLS pair table."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rectdetect_tpu.ops import reduce_ls
+from rectdetect_tpu.pipeline.rect import rect_frame, live_rects
+
+TAN = math.tan(math.radians(72) / 2)
+
+
+def draw_scene(quads, w=192, h=144, bg=(80, 90, 100)):
+    from PIL import Image, ImageDraw
+    img = Image.new("RGB", (w, h), bg)
+    d = ImageDraw.Draw(img)
+    colors = [(210, 170, 60), (60, 140, 210), (90, 200, 90)]
+    for i, q in enumerate(quads):
+        d.polygon([tuple(p) for p in q], fill=colors[i % 3])
+    rgb = np.asarray(img, np.uint8)
+    return jnp.asarray(rgb[..., ::-1].copy())
+
+
+def test_pair_bbox_table_cooccurrence():
+    h, w = 32, 40
+    boundary = np.full((h, w), -1, np.int32)
+    boundary[5:12, 6:20] = 100          # boundary strip id 100
+    boundary[20:26, 10:30] = 900        # id 900
+    lsid = np.zeros((h, w), np.int32)
+    lsid[8, 8:18] = 7                   # crosses strip 100
+    lsid[22, 12:25] = 3                 # crosses strip 900
+    lsid[2, 30:38] = 5                  # >3 px from every boundary strip
+    nentry = 4096
+    t = reduce_ls.pair_bbox_table(jnp.asarray(boundary), jnp.asarray(lsid),
+                                  nentry)
+    own_ls = np.asarray(t.owner_lsid)
+    own_bid = np.asarray(t.owner_bid)
+    bb = np.asarray(t.bb)
+
+    def slot(l, b):
+        return (np.uint32(l) * np.uint32(b) & np.uint32(0x7fffffff)) % nentry
+
+    s = slot(7, 100)
+    assert own_ls[s] == 7 and own_bid[s] == 100
+    # bbox covers the probing pixels of segment 7 (x in 8..17, y == 8)
+    assert bb[s, 1] == 17 and bb[s, 3] == 8
+    assert w - bb[s, 0] == 8 and h - bb[s, 2] == 8
+
+    s2 = slot(3, 900)
+    assert own_ls[s2] == 3 and own_bid[s2] == 900
+    # segment 5 never co-occurs with any boundary
+    s3 = slot(5, 100)
+    assert not (own_ls[s3] == 5 and own_bid[s3] == 100)
+
+
+def test_rect_frame_detects_quads():
+    quads = [[(20, 20), (84, 26), (78, 74), (26, 66)],
+             [(110, 40), (170, 50), (160, 120), (116, 106)]]
+    bgr = draw_scene(quads)
+    res = rect_frame(bgr, TAN)
+    rects = live_rects(res)
+    screens = [r for r in rects if r["status"] & 1]
+    assert len(screens) >= 2
+
+    for q in quads:
+        qa = np.asarray(q, np.float64)
+        best = 1e9
+        for r in screens:
+            c2 = r["c2"]
+            err = max(min(np.hypot(c2[:, 0] - cx, c2[:, 1] - cy))
+                      for cx, cy in qa)
+            best = min(best, err)
+        assert best < 4.0, (q, best)
+
+
+def test_rect_frame_no_quads_plain_scene():
+    h, w = 144, 192
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([(xx * 255 // w).astype(np.uint8),
+                    np.full((h, w), 90, np.uint8),
+                    (yy * 255 // h).astype(np.uint8)], axis=-1)
+    res = rect_frame(jnp.asarray(rgb), TAN)
+    rects = live_rects(res)
+    screens = [r for r in rects if r["status"] & 1]
+    assert len(screens) == 0
