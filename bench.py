@@ -1,0 +1,67 @@
+"""Benchmark: vidrect-equivalent frame rate at 1280x720 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the north-star
+target is >= 60 fps/chip at 1280x720, so vs_baseline = fps / 60.
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def synth_frame(h, w, seed=0):
+    """Photo-like frame: quads + clutter + noise (a vidrect-ish scene)."""
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w, 3), 80, np.uint8)
+    quads = [((0.1, 0.15), (0.42, 0.12), (0.40, 0.55), (0.12, 0.5)),
+             ((0.55, 0.3), (0.9, 0.35), (0.86, 0.8), (0.58, 0.72))]
+    yy, xx = np.mgrid[0:h, 0:w]
+    for qi, q in enumerate(quads):
+        pts = np.array([(x * w, y * h) for x, y in q])
+        inside = np.ones((h, w), bool)
+        for i in range(4):
+            a, b = pts[i], pts[(i + 1) % 4]
+            inside &= ((b[0] - a[0]) * (yy - a[1]) -
+                       (b[1] - a[1]) * (xx - a[0])) > 0
+        img[inside] = (60 + 80 * qi, 160 - 40 * qi, 200)
+    img = (img.astype(np.int16) +
+           rng.integers(-4, 5, img.shape, dtype=np.int16)).clip(
+               0, 255).astype(np.uint8)
+    return img
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from rectdetect_tpu.pipeline.rect import rect_frame
+
+    h, w = 720, 1280
+    n_warm, n_iter = 2, 20
+    frame = jnp.asarray(synth_frame(h, w))
+    tan_aov = math.tan(math.radians(72.0) / 2)
+
+    for _ in range(n_warm):
+        res = rect_frame(frame, tan_aov)
+        jax.block_until_ready(res.c2)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        res = rect_frame(frame, tan_aov)
+        jax.block_until_ready(res.c2)
+    dt = (time.perf_counter() - t0) / n_iter
+    fps = 1.0 / dt
+
+    print(json.dumps({"metric": "vidrect_720p_fps_per_chip",
+                      "value": round(fps, 2),
+                      "unit": "frames/s",
+                      "vs_baseline": round(fps / 60.0, 3)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

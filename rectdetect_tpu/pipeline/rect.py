@@ -112,24 +112,33 @@ def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
 def rect_frame(bgr, tan_aov, cfg: PipelineConfig = DEFAULT_CONFIG
                ) -> RectResult:
     """BGR (H,W,3) uint8 frame -> RectResult."""
-    ih, iw = bgr.shape[:2]
     fe = edge_frontend(bgr, cfg)
+    return rect_tail(fe.packed0, fe.edge_thin, fe.edge_bin, tan_aov, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
+              cfg: PipelineConfig = DEFAULT_CONFIG) -> RectResult:
+    """Everything after the edge front-end (oclrect.c:262-381 +
+    executeCPUTask).  Split out so the tiled/distributed front-end
+    (dist/tile.py) can feed it."""
+    ih, iw = packed0.shape[:2]
 
     # weak/strong edge labeling (oclrect.c:262-312)
-    jn = morphology.simple_junction(fe.edge_bin, positive_only=True)
+    jn = morphology.simple_junction(edge_bin, positive_only=True)
     conn = morphology.simple_connect_rect(jn)
     s = morphology.stringify(conn, 0)
     s = morphology.stringify(s, 1)
     lbl = ccl.label_components(s, -1, cfg.ccl_passes, cfg.ccl_jumps)
-    st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
+    st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale)
     weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
     weak_bin = (weak_lbl > 0).astype(jnp.int32)
 
     # edge-limited blur + quantize + despeckle (oclrect.c:286-303)
-    blurred = regions.blblur(fe.packed0, weak_bin, cfg.blblur_iters)
+    blurred = regions.blblur(packed0, weak_bin, cfg.blblur_iters)
     quant = regions.quantize_packed(blurred, cfg.quantize_levels,
                                     cfg.quantize_levels, cfg.quantize_levels)
-    despeck = regions.despeckle(quant, fe.edge_thin)
+    despeck = regions.despeckle(quant, edge_thin)
 
     # strong edges (oclrect.c:307-312)
     strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)
