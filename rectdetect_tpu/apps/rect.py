@@ -1,0 +1,44 @@
+"""Still-image rectangle detection (the reference's `rect` tool,
+rect.cpp:47-138).
+
+Usage: python -m rectdetect_tpu.apps.rect <image> [device] [output]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+from rectdetect_tpu.apps import common
+
+
+def main(argv=None) -> int:
+    argv = sys.argv if argv is None else argv
+    if len(argv) < 2:
+        sys.stderr.write(
+            f"Usage : {argv[0]} <image file name> [device number] "
+            "[output file name]\n")
+        common.print_devices()
+        return -1
+
+    did = int(argv[2]) if len(argv) >= 3 else 0
+    common.pick_device(did)
+
+    img = common.load_image_bgr(argv[1])
+
+    import jax.numpy as jnp
+    from rectdetect_tpu.pipeline.rect import rect_frame, live_rects
+
+    tan_aov = math.tan(72.0 / 2 / 180.0 * math.pi)   # rect.cpp:84
+    res = rect_frame(jnp.asarray(img), tan_aov)
+    rects = live_rects(res)
+
+    common.draw_rects(img, rects, common.RECT_STYLE_STILL)
+    out = argv[3] if len(argv) >= 4 else "output.jpg"
+    common.save_image_bgr(out, img)
+    print(f"{len(rects)} rectangles -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""Realtime video rectangle detection (the reference's `vidrect`,
+vidrect.cpp:51-227).
+
+Usage: python -m rectdetect_tpu.apps.vidrect [device] [input] [output] [AOV]
+  input:  video file, or cam:<id>,<w>,<h>, default camera 0
+  output: file path, or `-` for a window
+  AOV:    horizontal angle of view in degrees (default 90; demo uses 72)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+from rectdetect_tpu.apps import common
+
+
+def main(argv=None) -> int:
+    argv = sys.argv if argv is None else argv
+    if len(argv) < 2:
+        sys.stderr.write(
+            f"Usage : {argv[0]} [device number] [input video file] "
+            "[output video file] [AOV]\n"
+            "By specifying cam:<cam id>,<width>,<height> as an input, a "
+            "camera can be used.\n"
+            "Output is displayed on an window by specifying - to the "
+            "output.\n"
+            f"Example command line : {argv[0]} 0 cam:0,1280,720 - 72\n")
+        common.print_devices()
+        return -1
+
+    import cv2
+
+    did = int(argv[1]) if len(argv) >= 2 else 0
+    dev = common.pick_device(did)
+
+    cap = common.open_capture(argv[2] if len(argv) >= 3 else None)
+    iw = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    ih = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    print(f"Resolution : {iw} x {ih}")
+
+    aov = float(argv[4]) if len(argv) >= 5 else 90.0   # vidrect.cpp:112-116
+    print(f"Horizontal angle of view : {aov:g} degrees")
+    tan_aov = math.tan(aov / 2 / 180.0 * math.pi)
+
+    writer = None
+    winname = "Rectangle Detection Demo"
+    if len(argv) < 4 or argv[3] == "-":
+        cv2.namedWindow(winname, cv2.WINDOW_AUTOSIZE)
+        print("\n>>>>> Press ENTER on the window to exit <<<<<")
+    else:
+        writer = common.open_writer(argv[3], iw, ih)
+
+    from rectdetect_tpu.pipeline.video import VideoRectDetector, FpsMeter
+
+    det = VideoRectDetector(tan_aov, device=dev)
+    meter = FpsMeter()
+    frames = [None, None]
+    n = 0
+
+    ok, frame = cap.read()
+    if not ok:
+        sys.exit("no frames")
+    frames[n & 1] = frame.copy()
+    det.enqueue(frames[n & 1])
+    n += 1
+
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames[n & 1] = frame.copy()
+        det.enqueue(frames[n & 1])
+        n += 1
+
+        rects = det.poll()                 # frame n-1 results
+        canvas = frames[n & 1]
+        common.draw_rects(canvas, rects, common.RECT_STYLE_VIDEO)
+
+        if writer is not None:
+            writer.write(canvas)
+            fps = meter.tick()
+            if fps is not None:
+                print(f"{fps:.3g} fps")
+        else:
+            cv2.imshow(winname, canvas)
+            key = cv2.waitKey(1) & 0xFF
+            if key in (27, 13):
+                break
+
+    if writer is not None:
+        writer.release()
+    cap.release()
+    cv2.destroyAllWindows()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

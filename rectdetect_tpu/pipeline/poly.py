@@ -37,16 +37,17 @@ def poly_frame(bgr, cfg: PipelineConfig = DEFAULT_CONFIG,
 
 
 def live_segments(arena):
-    """Host-side convenience: list of (x0, y0, x1, y1, polyid, left, right)
-    for live segments (mirrors the poly.cpp:137-154 drawing walk)."""
+    """Host-side convenience: dicts for live segments keyed by arena id
+    (mirrors the poly.cpp:137-154 drawing walk)."""
     import numpy as np
     a = {k: np.asarray(v) for k, v in arena._asdict().items()}
     out = []
     for g in range(1, int(a["count"]) + 1):
         if a["polyid"][g] == 0:
             continue
-        out.append((float(a["sx"][g]), float(a["sy"][g]),
-                    float(a["ex"][g]), float(a["ey"][g]),
-                    int(a["polyid"][g]), int(a["left_ptr"][g]),
-                    int(a["right_ptr"][g])))
+        out.append({"id": g,
+                    "x0": float(a["sx"][g]), "y0": float(a["sy"][g]),
+                    "x1": float(a["ex"][g]), "y1": float(a["ey"][g]),
+                    "left": int(a["left_ptr"][g]),
+                    "right": int(a["right_ptr"][g])})
     return out
