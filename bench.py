@@ -38,7 +38,10 @@ def synth_frame(h, w, seed=0):
 def main():
     import jax
     import jax.numpy as jnp
+    from rectdetect_tpu.runtime.cache import enable_persistent_cache
     from rectdetect_tpu.pipeline.rect import rect_frame
+
+    enable_persistent_cache()
 
     h, w = 720, 1280
     n_warm, n_iter = 2, 20

@@ -15,6 +15,8 @@ def pick_device(did: int):
     """Select jax device by index (the reference's OpenCL device number,
     oclhelper.c:171-196) and print its name like rect.cpp:61."""
     import jax
+    from rectdetect_tpu.runtime.cache import enable_persistent_cache
+    enable_persistent_cache()
     devs = jax.devices()
     if did < 0 or did >= len(devs):
         print_devices()
