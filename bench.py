@@ -44,18 +44,23 @@ def main():
     enable_persistent_cache()
 
     h, w = 720, 1280
-    n_warm, n_iter = 2, 20
-    frame = jnp.asarray(synth_frame(h, w))
+    n_iter = 10
+    # pre-upload distinct frames (vidrect overlaps transfers with compute;
+    # on relay-tunneled devices host<->device bandwidth is not the metric)
+    frames = [jax.device_put(synth_frame(h, w, seed=s)) for s in range(2)]
+    for f in frames:
+        f.block_until_ready()
     tan_aov = math.tan(math.radians(72.0) / 2)
 
-    for _ in range(n_warm):
-        res = rect_frame(frame, tan_aov)
-        jax.block_until_ready(res.c2)
+    # warmup/compile; the tiny readback forces true completion (on some
+    # remote transports block_until_ready acks before execution finishes)
+    res = rect_frame(frames[0], tan_aov)
+    np.asarray(res.value)[:1]
 
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        res = rect_frame(frame, tan_aov)
-        jax.block_until_ready(res.c2)
+    for i in range(n_iter):
+        res = rect_frame(frames[i % 2], tan_aov)
+    np.asarray(res.value)[:1]   # single readback drains the in-order queue
     dt = (time.perf_counter() - t0) / n_iter
     fps = 1.0 / dt
 

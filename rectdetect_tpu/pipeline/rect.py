@@ -170,7 +170,66 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
                                        cfg.aspect_limit,
                                        cfg.offset_ratio_limit)
     status = status | jnp.where(screen, 1, 0)
+    # degenerate rejected groups can carry NaN through the pose math;
+    # sanitize so reductions over the fixed-capacity result are safe
+    ok = ok & jnp.isfinite(val)
+    val = jnp.where(ok, val, jnp.inf)
+    c2 = jnp.where(ok[:, None, None], jnp.nan_to_num(c2), 0.0)
+    c3 = jnp.where(ok[:, None, None], jnp.nan_to_num(c3), 0.0)
     return RectResult(c2=c2, c3=c3, value=val, status=status, valid=ok)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rect_stage_images(bgr, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Intermediate stage images for the debug-dump subsystem — the same
+    observability points the reference left as commented-out visualization
+    hooks (oclrect.c:255-363).  Returns a dict of (kind, array) pairs for
+    utils.debug.StageDumper."""
+    fe = edge_frontend(bgr, cfg)
+    jn = morphology.simple_junction(fe.edge_bin, positive_only=True)
+    conn = morphology.simple_connect_rect(jn)
+    s = morphology.stringify(conn, 0)
+    s = morphology.stringify(s, 1)
+    lbl = ccl.label_components(s, -1, cfg.ccl_passes, cfg.ccl_jumps)
+    st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
+    weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
+    weak_bin = (weak_lbl > 0).astype(jnp.int32)
+    blurred = regions.blblur(fe.packed0, weak_bin, cfg.blblur_iters)
+    quant = regions.quantize_packed(blurred)
+    despeck = regions.despeckle(quant, fe.edge_thin)
+    strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)
+    jn2 = morphology.simple_junction(strong_lbl, positive_only=True)
+    mask = regions.merge_mask(jn2)
+    seg = regions.label_merge(despeck, mask, strong_lbl,
+                              cfg.labelmerge_passes, cfg.labelmerge_jumps)
+    seg = regions.despeckle2(seg, regions.label_sizes(seg),
+                             cfg.despeckle2_thre)
+    bmark = regions.mark_boundary(seg)
+    boundary = ccl.label_components(bmark, -1, cfg.ccl_passes, cfg.ccl_jumps)
+    strong_bin = (strong_lbl > 0).astype(jnp.int32)
+    _, lsid = polyline.polyline_execute(
+        strong_bin, cfg.minerror_rect, cfg.size_thre_rect,
+        cfg.ls_cap_for(bgr.shape[1], bgr.shape[0]), cfg)
+    return {
+        "edge_thin": fe.edge_thin,          # oclrect.c:260
+        "weak_labels": weak_lbl,            # oclrect.c:280
+        "blblur": blurred,                  # oclrect.c:298
+        "despeckled": despeck,              # oclrect.c:305
+        "strong_labels": strong_lbl,        # oclrect.c:310
+        "merge_mask": mask,                 # oclrect.c:323
+        "regions": seg,                     # oclrect.c:338
+        "boundary": boundary,               # oclrect.c:344
+        "lsid": lsid,                       # oclrect.c:363
+    }
+
+
+# renderer kind per stage, for utils.debug.StageDumper
+STAGE_KINDS = {
+    "edge_thin": "gray", "weak_labels": "labels", "blblur": "packed",
+    "despeckled": "packed", "strong_labels": "labels",
+    "merge_mask": "binary", "regions": "labels", "boundary": "labels",
+    "lsid": "labels",
+}
 
 
 def live_rects(res: RectResult):
