@@ -45,6 +45,12 @@ class PipelineConfig:
     minerror_poly: float = 1.0    # poly.cpp:123
     size_thre_poly: int = 20      # poly.cpp:123
     strength_poly: int = 500      # poly.cpp:120
+    # ---- sparse labeling ------------------------------------------------
+    # Pointer-jump/scatter machinery runs over compacted foreground slot
+    # lists of capacity H*W//sparse_factor (0 = dense).  Edges after
+    # thinning are ~2-5% of the frame, so /8 is a ~3x safety margin.
+    sparse_factor: int = 8
+    boundary_sparse_factor: int = 3   # boundary strips are denser
     # ---- hypothesis / pose ----------------------------------------------
     probe_n: int = 3              # probe points along segment, oclrect.c:1070
     probe_dist: int = 2           # perpendicular probe offsets, oclrect.c:1070

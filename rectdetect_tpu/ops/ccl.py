@@ -42,11 +42,19 @@ def _pointer_jump(label_ext, g, n_jumps):
 
 
 def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
-                     compress: bool = True):
+                     compress: bool = True, sparse_cap: int | None = None):
     """8-connected CCL over equal pixel values; background bgc -> label -1.
 
     pix: (H, W) int32.  Returns (H, W) int32 labels = min flat index of the
     component (the reference's converged fixpoint).
+
+    The 8-neighbor candidate minimum is dense VPU work (statically shifted
+    selects); the expensive part — pointer-jump gathers and the
+    atomic-min-equivalent scatter — runs over a compacted foreground slot
+    list when `sparse_cap` is given (ops/compact.py): identical labels,
+    cost proportional to the number of foreground pixels instead of the
+    frame.  Pipelines pass sparse_cap for the (sparse) edge/boundary CCL
+    instances.
     """
     h, w = pix.shape
     n = h * w
@@ -63,38 +71,68 @@ def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
     seed = jnp.where(up_same, idx2d - w, jnp.where(left_same, idx2d - 1, idx2d))
     label = jnp.where(fg, seed.reshape(-1), sent).astype(jnp.int32)
 
-    neigh = [_flat_neighbor_idx(h, w, dy, dx) for (dy, dx) in NEIGH8]
+    pixq = pad2d(pix, 1, "zero", constant=bgc ^ 0x55555555)
 
-    def one_pass(label):
-        lbl2d = label.reshape(h, w)
-        lblp = pad2d(lbl2d, 1, "zero", constant=sent)
-        pixq = pad2d(pix, 1, "zero", constant=bgc ^ 0x55555555)
-        g = lbl2d
+    def neighbor_min(label):
+        lblp = pad2d(label.reshape(h, w), 1, "zero", constant=sent)
+        g = label.reshape(h, w)
         for (dy, dx) in NEIGH8:
             cand = shifted(lblp, 1, dy, dx, h, w)
             same = shifted(pixq, 1, dy, dx, h, w) == pix
             g = jnp.minimum(g, jnp.where(same, cand, sent))
-        g = g.reshape(-1)
-        label_ext = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
-        g = _pointer_jump(label_ext, g, n_jumps)
-        og = jnp.where(fg, label, sent)
-        g = jnp.where(fg, g, sent)
-        new = label.at[og].min(jnp.where(og < sent, g, sent),
-                               mode="drop", indices_are_sorted=False)
-        new = jnp.minimum(new, g)
-        return new
+        return g.reshape(-1)
+
+    if sparse_cap is None:
+        def one_pass(label):
+            g = neighbor_min(label)
+            label_ext = jnp.concatenate([label,
+                                         jnp.asarray([sent], jnp.int32)])
+            g = _pointer_jump(label_ext, g, n_jumps)
+            og = jnp.where(fg, label, sent)
+            g = jnp.where(fg, g, sent)
+            new = label.at[og].min(jnp.where(og < sent, g, sent),
+                                   mode="drop")
+            return jnp.minimum(new, g)
+
+        for _ in range(n_passes):
+            label = one_pass(label)
+
+        if compress:
+            ext = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
+            for _ in range(4):
+                ext = ext[jnp.minimum(ext, sent)]
+            label = ext[:-1]
+        out = jnp.where(fg, label, -1)
+        return out.reshape(h, w).astype(jnp.int32)
+
+    # ---- sparse jump/scatter path ---------------------------------------
+    from rectdetect_tpu.ops.compact import compact_mask
+    comp = compact_mask(fg, sparse_cap)
+    slots = jnp.clip(comp.idx, 0, n - 1)
+    live = comp.valid()
+    # one extra slot at index n holds the sentinel
+    label = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
+
+    def one_pass(label):
+        g_dense = neighbor_min(label[:n])
+        g_s = jnp.where(live, g_dense[slots], sent)
+        for _ in range(n_jumps):
+            g_s = label[jnp.minimum(g_s, sent)]
+        og_s = jnp.where(live, label[slots], sent)
+        new = label.at[og_s].min(g_s, mode="drop")
+        new = new.at[jnp.where(live, slots, sent)].min(g_s, mode="drop")
+        return new.at[sent].set(sent)
 
     for _ in range(n_passes):
         label = one_pass(label)
 
     if compress:
-        label_ext = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
-        # full path compression: idempotent once converged
+        l_s = jnp.where(live, label[slots], sent)
         for _ in range(4):
-            label_ext = label_ext[jnp.minimum(label_ext, sent)]
-        label = label_ext[:-1]
+            l_s = label[jnp.minimum(l_s, sent)]
+        label = label.at[jnp.where(live, slots, sent)].set(l_s, mode="drop")
 
-    out = jnp.where(fg, label, -1)
+    out = jnp.where(fg, label[:n], -1)
     return out.reshape(h, w).astype(jnp.int32)
 
 
@@ -154,7 +192,8 @@ def _interior_mask(h, w, margin):
     return jnp.asarray(_interior_cache(h, w, margin))
 
 
-def label_arcs(number, n_passes: int = 12, n_jumps: int = 8):
+def label_arcs(number, n_passes: int = 12, n_jumps: int = 8,
+               sparse_cap: int | None = None):
     """Group string pixels into arcs of consecutive arc-length numbers.
 
     Mirrors labelpl_preprocess/labelpl_main (oclpolyline.cl:312-355, host
@@ -162,7 +201,7 @@ def label_arcs(number, n_passes: int = 12, n_jumps: int = 8):
     background) become background; 8-neighbors are merged when their
     numbers differ by <= 1.  Background label is 0 (the labelpl
     convention), foreground labels are min flat indices (> 0 since border
-    pixels are background).
+    pixels are background).  sparse_cap: see label_components.
     """
     h, w = number.shape
     n = h * w
@@ -174,32 +213,59 @@ def label_arcs(number, n_passes: int = 12, n_jumps: int = 8):
 
     nump = pad2d(number, 1, "zero", constant=-9)
 
-    def one_pass(label):
-        lbl2d = label.reshape(h, w)
-        lblp = pad2d(lbl2d, 1, "zero", constant=sent)
-        g = lbl2d
+    def neighbor_min(label):
+        lblp = pad2d(label.reshape(h, w), 1, "zero", constant=sent)
+        g = label.reshape(h, w)
         for (dy, dx) in NEIGH8:
             cand = shifted(lblp, 1, dy, dx, h, w)
             nb = shifted(nump, 1, dy, dx, h, w)
             ok = (nb > 0) & (jnp.abs(nb - number) <= 1)
             g = jnp.minimum(g, jnp.where(ok, cand, sent))
-        g = g.reshape(-1)
-        label_ext = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
-        g = _pointer_jump(label_ext, g, n_jumps)
-        og = jnp.where(fg, label, sent)
-        g = jnp.where(fg, g, sent)
-        new = label.at[og].min(g, mode="drop")
-        new = jnp.minimum(new, g)
-        return new
+        return g.reshape(-1)
+
+    if sparse_cap is None:
+        def one_pass(label):
+            g = neighbor_min(label)
+            label_ext = jnp.concatenate([label,
+                                         jnp.asarray([sent], jnp.int32)])
+            g = _pointer_jump(label_ext, g, n_jumps)
+            og = jnp.where(fg, label, sent)
+            g = jnp.where(fg, g, sent)
+            new = label.at[og].min(g, mode="drop")
+            return jnp.minimum(new, g)
+
+        for _ in range(n_passes - 1):
+            label = one_pass(label)
+        ext = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
+        for _ in range(4):
+            ext = ext[ext]
+        label = ext[:-1]
+        return jnp.where(fg, label, 0).reshape(h, w).astype(jnp.int32)
+
+    from rectdetect_tpu.ops.compact import compact_mask
+    comp = compact_mask(fg, sparse_cap)
+    slots = jnp.clip(comp.idx, 0, n - 1)
+    live = comp.valid()
+    label = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
+
+    def one_pass(label):
+        g_dense = neighbor_min(label[:n])
+        g_s = jnp.where(live, g_dense[slots], sent)
+        for _ in range(n_jumps):
+            g_s = label[jnp.minimum(g_s, sent)]
+        og_s = jnp.where(live, label[slots], sent)
+        new = label.at[og_s].min(g_s, mode="drop")
+        new = new.at[jnp.where(live, slots, sent)].min(g_s, mode="drop")
+        return new.at[sent].set(sent)
 
     for _ in range(n_passes - 1):
         label = one_pass(label)
 
-    label_ext = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
+    l_s = jnp.where(live, label[slots], sent)
     for _ in range(4):
-        label_ext = label_ext[label_ext]
-    label = label_ext[:-1]
-    return jnp.where(fg, label, 0).reshape(h, w).astype(jnp.int32)
+        l_s = label[jnp.minimum(l_s, sent)]
+    label = label.at[jnp.where(live, slots, sent)].set(l_s, mode="drop")
+    return jnp.where(fg, label[:n], 0).reshape(h, w).astype(jnp.int32)
 
 
 def filter_size(label, sizes, size_thre: int):

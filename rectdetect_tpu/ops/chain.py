@@ -75,7 +75,7 @@ def chain_neighbors(label):
     return n0.reshape(-1), n1.reshape(-1)
 
 
-def arc_number(label, n_doublings: int = 15):
+def arc_number(label, n_doublings: int = 15, sparse_cap: int | None = None):
     """Arc-length index of every string pixel from its canonical head.
 
     label: (H, W) int32 CCL labels (-1 background) of a string image whose
@@ -91,6 +91,10 @@ def arc_number(label, n_doublings: int = 15):
     h, w = label.shape
     n = h * w
     n0, n1 = chain_neighbors(label)
+
+    if sparse_cap is not None:
+        return _arc_number_sparse(label, n0, n1, n_doublings, sparse_cap)
+
     idx = jnp.arange(n, dtype=jnp.int32)
 
     # Directed states u = k*n + p ("at p, stepping into nk(p)").
@@ -124,6 +128,63 @@ def arc_number(label, n_doublings: int = 15):
     fg = label.reshape(-1) >= 0
     number = jnp.where(fg & okdir, number, 0)
     return number.reshape(h, w).astype(jnp.int32), e0, e1
+
+
+def _arc_number_sparse(label, n0, n1, n_doublings: int, cap: int):
+    """arc_number's pointer doubling over a compacted foreground slot list:
+    states live in slot space (2*cap instead of 2*H*W), so every doubling
+    gather costs O(edge pixels).  Identical output to the dense path."""
+    from rectdetect_tpu.ops.compact import compact_mask
+
+    h, w = label.shape
+    n = h * w
+    fg = label.reshape(-1) >= 0
+    comp = compact_mask(fg, cap)
+    live = comp.valid()
+    p_s = jnp.clip(comp.idx, 0, n - 1)           # (S,) pixel per slot
+
+    n0_s = n0[p_s]
+    n1_s = n1[p_s]
+    nk = jnp.concatenate([n0_s, n1_s])           # (2S,) target pixel
+    p_rep = jnp.concatenate([p_s, p_s])
+    live2 = jnp.concatenate([live, live])
+    absorbing = (nk == p_rep) | ~live2
+
+    q_slot = comp.slot_of[jnp.clip(nk, 0, n)]    # slot of the target pixel
+    # targets are same-label fg pixels; an out-of-capacity slot (overflow)
+    # degrades to absorbing rather than corrupting memory
+    q_ok = q_slot < cap
+    q_slot = jnp.clip(q_slot, 0, cap - 1)
+    absorbing = absorbing | ~q_ok
+
+    n0_at_q = n0_s[q_slot]
+    kprime = jnp.where(n0_at_q == p_rep, 1, 0).astype(jnp.int32)
+    self_state = jnp.arange(2 * cap, dtype=jnp.int32)
+    ptr = jnp.where(absorbing, self_state, kprime * cap + q_slot)
+    dist = jnp.where(absorbing, 0, 1).astype(jnp.int32)
+    absorb0 = absorbing
+
+    for _ in range(n_doublings):
+        dist = dist + dist[ptr]
+        ptr = ptr[ptr]
+
+    absorbed = absorb0[ptr]
+    endpix = p_rep[ptr]
+    e0, d0, a0 = endpix[:cap], dist[:cap], absorbed[:cap]
+    e1, d1, a1 = endpix[cap:], dist[cap:], absorbed[cap:]
+    pick0 = e0 <= e1
+    num_s = jnp.where(pick0, d0, d1)
+    okdir = jnp.where(pick0, a0, a1)
+    num_s = jnp.where(live & okdir, num_s, 0)
+
+    number = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.where(live, p_s, n)].set(num_s, mode="drop")[:n]
+    # e0/e1 in pixel space for API parity with the dense path
+    e0_full = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.where(live, p_s, n)].set(e0, mode="drop")[:n]
+    e1_full = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.where(live, p_s, n)].set(e1, mode="drop")[:n]
+    return number.reshape(h, w), e0_full, e1_full
 
 
 def count_ends(junction, label):

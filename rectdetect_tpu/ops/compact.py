@@ -1,0 +1,54 @@
+"""Fixed-capacity stream compaction.
+
+The label/segment machinery (reduceLS, mkpl, arc numbering) only touches
+edge pixels — a few percent of the frame — but the naive dense
+formulation scatters/gathers full 1M-element images, which is where the
+frame time goes (TPU scatters cost per *index*, so 921600 mostly-masked
+indices are ~20x more expensive than the ~40k real ones).
+
+`compact_mask` converts a boolean image into a fixed-capacity slot list
+by prefix sum (the deterministic replacement for the reference's
+atomic-append patterns): slot i holds the i-th set pixel in flat order.
+Overflow beyond `cap` is dropped deterministically (highest flat indices
+first); pipelines size `cap` so this never truncates in practice.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class Compaction(NamedTuple):
+    idx: jnp.ndarray      # (cap,) flat pixel index per slot; N = empty
+    slot_of: jnp.ndarray  # (N+1,) slot per flat pixel; cap = not included
+    n: jnp.ndarray        # scalar: number of live slots (<= cap)
+
+    @property
+    def cap(self) -> int:
+        return self.idx.shape[0]
+
+    def valid(self):
+        return self.idx < self.slot_of.shape[0] - 1
+
+
+def compact_mask(mask_flat, cap: int) -> Compaction:
+    """mask_flat: (N,) bool -> slots for the first `cap` set positions."""
+    n = mask_flat.shape[0]
+    ranks = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    take = mask_flat & (ranks < cap)
+    slot_of = jnp.full((n + 1,), cap, jnp.int32)
+    slot_of = slot_of.at[:n].set(jnp.where(take, ranks, cap))
+    idx = jnp.full((cap + 1,), n, jnp.int32)
+    flat = jnp.arange(n, dtype=jnp.int32)
+    idx = idx.at[jnp.where(take, ranks, cap)].set(flat, mode="drop")
+    count = jnp.minimum(ranks[-1] + 1, cap).astype(jnp.int32)
+    return Compaction(idx=idx[:cap], slot_of=slot_of, n=count)
+
+
+def gather_image(c: Compaction, img_flat, fill=0):
+    """Per-slot values of a flat image (empty slots get `fill`)."""
+    n = img_flat.shape[0]
+    safe = jnp.clip(c.idx, 0, n - 1)
+    return jnp.where(c.valid(), img_flat[safe], fill)

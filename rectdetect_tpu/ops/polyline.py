@@ -79,20 +79,32 @@ def _coords(h, w, dtype=jnp.float32):
             jnp.broadcast_to(yy, (h, w)).reshape(-1))
 
 
-def mkpl_init(label, number, cap: int) -> SegmentArena:
+def mkpl_init(label, number, cap: int, comp=None) -> SegmentArena:
     """Build the initial one-segment-per-arc arena (mkpl_pass0a/0b,
     oclpolyline.cl:439-506).
 
     label: (H,W) dense arc ids (1..count, 0 background); number: (H,W)
     arc-length indices.  An arc survives (polyid != 0) iff it has exactly
     one number==1 pixel and >= 2 pixels, like pass0b.
+
+    comp: optional Compaction of the labeled pixels — all segment scatters
+    then run over slots (O(edge pixels)) instead of the frame.
     """
     h, w = label.shape
     n = h * w
-    l = label.reshape(-1).astype(jnp.int32)
-    num = number.reshape(-1).astype(jnp.int32)
-    px, py = _coords(h, w)
-    flat = jnp.arange(n, dtype=jnp.int32)
+    if comp is not None:
+        live = comp.valid()
+        p_s = jnp.clip(comp.idx, 0, n - 1)
+        l = jnp.where(live, label.reshape(-1)[p_s], 0).astype(jnp.int32)
+        num = jnp.where(live, number.reshape(-1)[p_s], 0).astype(jnp.int32)
+        px = (p_s % w).astype(jnp.float32)
+        py = (p_s // w).astype(jnp.float32)
+        flat = p_s
+    else:
+        l = label.reshape(-1).astype(jnp.int32)
+        num = number.reshape(-1).astype(jnp.int32)
+        px, py = _coords(h, w)
+        flat = jnp.arange(n, dtype=jnp.int32)
 
     valid = (l > 0) & (l < cap)
     tgt = jnp.where(valid, l, cap)
@@ -109,8 +121,8 @@ def mkpl_init(label, number, cap: int) -> SegmentArena:
                       "min", n)
     sp_ok = sp < n
     spc = jnp.clip(sp, 0, n - 1)
-    sx = jnp.where(sp_ok, px[spc], 0.0)
-    sy = jnp.where(sp_ok, py[spc], 0.0)
+    sx = jnp.where(sp_ok, (spc % w).astype(jnp.float32), 0.0)
+    sy = jnp.where(sp_ok, (spc // w).astype(jnp.float32), 0.0)
 
     # endCoords: first pixel reaching the max number (atomic first-writer in
     # the reference; deterministic min-flat-index winner here).
@@ -119,8 +131,8 @@ def mkpl_init(label, number, cap: int) -> SegmentArena:
     end_count = _seg_scatter(cap, jnp.where(is_endpix, l, cap), one, "add", 0)
     ep_ok = ep < n
     epc = jnp.clip(ep, 0, n - 1)
-    ex = jnp.where(ep_ok, px[epc], 0.0)
-    ey = jnp.where(ep_ok, py[epc], 0.0)
+    ex = jnp.where(ep_ok, (epc % w).astype(jnp.float32), 0.0)
+    ey = jnp.where(ep_ok, (epc // w).astype(jnp.float32), 0.0)
 
     seg_id = jnp.arange(cap, dtype=jnp.int32)
     alive = (start_count == 1) & (npix >= 2) & (end_count >= 1) & (seg_id > 0)
@@ -150,7 +162,7 @@ def _closest_point_dist(sx, sy, ex, ey, px, py):
 
 
 def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
-                   n_iters: int):
+                   n_iters: int, comp=None):
     """Iterative max-deviation subdivision (mkpl_pass1/2/3,
     oclpolyline.cl:509-646; host loop N=16 at oclpolyline.c:186-216).
 
@@ -158,19 +170,34 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
     the deviation and shape tests pass; relabel pixels past splits one
     right-pointer hop (as in the reference, propagation interleaves with
     further subdivision).  Returns (arena, label).
+
+    With `comp`, per-pixel work runs over the compacted slot list (every
+    iteration's arena gathers and distance math are O(edge pixels)).
     """
     h, w = label.shape
     n = h * w
     cap = arena.cap
-    px, py = _coords(h, w)
-    flat = jnp.arange(n, dtype=jnp.int32)
-    num = number.reshape(-1).astype(jnp.int32)
+    if comp is not None:
+        live = comp.valid()
+        p_s = jnp.clip(comp.idx, 0, n - 1)
+        px = (p_s % w).astype(jnp.float32)
+        py = (p_s // w).astype(jnp.float32)
+        flat = p_s
+        num = jnp.where(live, number.reshape(-1)[p_s], 0).astype(jnp.int32)
+        label_s = jnp.where(live, label.reshape(-1)[p_s], 0)
+    else:
+        px, py = _coords(h, w)
+        flat = jnp.arange(n, dtype=jnp.int32)
+        num = number.reshape(-1).astype(jnp.int32)
+        label_s = label.reshape(-1)
     seg_id = jnp.arange(cap, dtype=jnp.int32)
     minerr_fix = int(minerror * FIX)
 
+    n_slots = px.shape[0]
+    slot_ids = jnp.arange(n_slots, dtype=jnp.int32)
+
     def body(_, state):
-        a, lab = state
-        l = lab.reshape(-1)
+        a, l = state
         lc = jnp.clip(l, 0, cap - 1)
         live_px = (l > 0) & (l < cap) & (a.polyid[lc] != 0)
 
@@ -183,11 +210,13 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
         maxdist = _seg_scatter(cap, tgt, dist, "max", -1)
 
         # winner pixel: min flat index achieving the segment max (the
-        # reference uniquifies via rand XOR, oclpolyline.cl:536).
+        # reference uniquifies via rand XOR, oclpolyline.cl:536); slot
+        # order equals flat order, so the min slot is the min flat index.
         at_max = live_px & (dist == maxdist[lc]) & (maxdist[lc] >= 0)
-        winner = _seg_scatter(cap, jnp.where(at_max, l, cap), flat, "min", n)
-        has_w = winner < n
-        wc = jnp.clip(winner, 0, n - 1)
+        winner = _seg_scatter(cap, jnp.where(at_max, l, cap), slot_ids,
+                              "min", n_slots)
+        has_w = winner < n_slots
+        wc = jnp.clip(winner, 0, n_slots - 1)
         wx = px[wc]
         wy = py[wc]
         wn = num[wc]
@@ -257,13 +286,18 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
         # pass3: move pixels past the split one right-pointer hop.
         move = live_px & (a2.end_index[lc] < num) & (a2.polyid[lc] != 0)
         l_new = jnp.where(move, a2.right_ptr[lc], l)
-        return a2, l_new.reshape(h, w)
+        return a2, l_new
 
-    arena, label = jax.lax.fori_loop(0, n_iters - 1, body, (arena, label))
-    return arena, label
+    arena, l_end = jax.lax.fori_loop(0, n_iters - 1, body,
+                                     (arena, label_s.astype(jnp.int32)))
+    if comp is not None:
+        lab = jnp.zeros((n + 1,), jnp.int32).at[
+            jnp.where(live, p_s, n)].set(l_end, mode="drop")[:n]
+        return arena, lab.reshape(h, w)
+    return arena, l_end.reshape(h, w)
 
 
-def refine(arena: SegmentArena, label):
+def refine(arena: SegmentArena, label, comp=None):
     """Least-squares endpoint refinement + corner snapping (refine_pass0..3,
     oclpolyline.cl:680-809).
 
@@ -272,14 +306,24 @@ def refine(arena: SegmentArena, label):
     segment this is exactly a linear regression of the perpendicular
     offset `ay` on the chord position `ax0` with an intercept; we compute
     it with centered segment sums (same solution, f32-safe).
+
+    With `comp`, moment sums run over the compacted slot list.
     """
     h, w = label.shape
+    n = h * w
     cap = arena.cap
-    l = label.reshape(-1)
+    if comp is not None:
+        live = comp.valid()
+        p_s = jnp.clip(comp.idx, 0, n - 1)
+        l = jnp.where(live, label.reshape(-1)[p_s], 0)
+        px = (p_s % w).astype(jnp.float32)
+        py = (p_s // w).astype(jnp.float32)
+    else:
+        l = label.reshape(-1)
+        px, py = _coords(h, w)
     lc = jnp.clip(l, 0, cap - 1)
     valid = (l > 0) & (l < cap)
     tgt = jnp.where(valid, l, cap)
-    px, py = _coords(h, w)
 
     dirx = jnp.rint(arena.ex - arena.sx)
     diry = jnp.rint(arena.ey - arena.sy)
@@ -355,25 +399,35 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
     -> arc numbering -> arc labeling -> size filter -> dense relabel ->
     subdivision -> refinement.  lsid is the per-pixel segment-id map.
     """
+    h, w = edge_binary.shape
+    sp = (max(4096, h * w // cfg.sparse_factor)
+          if cfg.sparse_factor else None)
+
     jn = morphology.simple_junction(edge_binary)
     conn = morphology.simple_connect_poly(jn)
     s = morphology.stringify(conn, 0)
     s = morphology.stringify(s, 1)
     strings = morphology.remove_branch(s)
 
-    label = label_components(strings, 0, cfg.ccl_passes, cfg.ccl_jumps)
+    label = label_components(strings, 0, cfg.ccl_passes, cfg.ccl_jumps,
+                             sparse_cap=sp)
     jn2 = morphology.simple_junction(strings)
     nends = count_ends(jn2, label)
     strings, label = break_loops(strings, label, nends)
 
-    number, _, _ = arc_number(label, cfg.number_doublings)
-    arcs = label_arcs(number, cfg.labelpl_passes, cfg.labelpl_jumps)
+    number, _, _ = arc_number(label, cfg.number_doublings, sparse_cap=sp)
+    arcs = label_arcs(number, cfg.labelpl_passes, cfg.labelpl_jumps,
+                      sparse_cap=sp)
     sizes = component_sizes(arcs, ignore=0)
     filtered = filter_size(arcs, sizes, size_thre)
     dense, _ = relabel_dense(filtered)
 
-    arena = mkpl_init(dense, number, cap)
+    comp = None
+    if sp is not None:
+        from rectdetect_tpu.ops.compact import compact_mask
+        comp = compact_mask((dense > 0).reshape(-1), sp)
+    arena = mkpl_init(dense, number, cap, comp)
     arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
-                                 cfg.mkpl_iters)
-    arena = refine(arena, lsid)
+                                 cfg.mkpl_iters, comp)
+    arena = refine(arena, lsid, comp)
     return arena, lsid

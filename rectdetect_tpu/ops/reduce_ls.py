@@ -63,41 +63,54 @@ def _distinct_bids(boundary, k_slots: int):
     return slots
 
 
-def pair_bbox_table(boundary, lsid_img, nentry: int, k_slots: int = 4):
+def pair_bbox_table(boundary, lsid_img, nentry: int, k_slots: int = 4,
+                    edge_cap: int | None = None):
     """Build the (segment, boundary) -> clip-bbox table (reduceLS,
-    oclrect.cl:427-464)."""
+    oclrect.cl:427-464).
+
+    Sparse formulation: only edge pixels (lsid > 0) contribute, so the
+    hash-table scatters run over a compacted fixed-capacity pixel list
+    (ops/compact.py) instead of the full frame — the distinct-bid window
+    scan stays dense (pure VPU shifts)."""
+    from rectdetect_tpu.ops.compact import compact_mask, gather_image
+
     h, w = boundary.shape
+    n = h * w
+    if edge_cap is None:
+        edge_cap = max(1024, n // 8)
     yy = jnp.arange(h, dtype=jnp.int32)[:, None]
     xx = jnp.arange(w, dtype=jnp.int32)[None, :]
     interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
     lsid = jnp.where(interior & (lsid_img > 0), lsid_img, 0)
 
+    comp = compact_mask((lsid > 0).reshape(-1), edge_cap)
+    ls_s = gather_image(comp, lsid.reshape(-1))
+    x_s = jnp.where(comp.valid(), comp.idx % w, 0)
+    y_s = jnp.where(comp.valid(), comp.idx // w, 0)
+
     slots = _distinct_bids(boundary, k_slots)
     big = jnp.int32(2 ** 30)
 
     owner_lsid = jnp.full((nentry + 1,), big, jnp.int32)
-    flat_ls = lsid.reshape(-1)
     pairs = []
     for s in slots:
-        bid = s.reshape(-1)
-        v = (flat_ls > 0) & (bid > 0)
-        hsh = jnp.where(v, _hash(flat_ls, bid, nentry), nentry)
+        bid = gather_image(comp, s.reshape(-1))
+        v = (ls_s > 0) & (bid > 0)
+        hsh = jnp.where(v, _hash(ls_s, bid, nentry), nentry)
         pairs.append((bid, v, hsh))
-        owner_lsid = owner_lsid.at[hsh].min(jnp.where(v, flat_ls, big),
+        owner_lsid = owner_lsid.at[hsh].min(jnp.where(v, ls_s, big),
                                             mode="drop")
 
     owner_bid = jnp.full((nentry + 1,), big, jnp.int32)
     for bid, v, hsh in pairs:
-        mine = v & (owner_lsid[hsh] == flat_ls)
+        mine = v & (owner_lsid[hsh] == ls_s)
         owner_bid = owner_bid.at[hsh].min(jnp.where(mine, bid, big),
                                           mode="drop")
 
     bb = jnp.zeros((nentry + 1, 4), jnp.int32)
-    xf = jnp.broadcast_to(xx, (h, w)).reshape(-1)
-    yf = jnp.broadcast_to(yy, (h, w)).reshape(-1)
-    vals = jnp.stack([w - xf, xf, h - yf, yf], axis=1)
+    vals = jnp.stack([w - x_s, x_s, h - y_s, y_s], axis=1)
     for bid, v, hsh in pairs:
-        mine = v & (owner_lsid[hsh] == flat_ls) & (owner_bid[hsh] == bid)
+        mine = v & (owner_lsid[hsh] == ls_s) & (owner_bid[hsh] == bid)
         tgt = jnp.where(mine, hsh, nentry)
         bb = bb.at[tgt].max(jnp.where(mine[:, None], vals, 0), mode="drop")
 

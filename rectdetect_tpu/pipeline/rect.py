@@ -123,13 +123,24 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     executeCPUTask).  Split out so the tiled/distributed front-end
     (dist/tile.py) can feed it."""
     ih, iw = packed0.shape[:2]
+    sp = (max(4096, ih * iw // cfg.sparse_factor)
+          if cfg.sparse_factor else None)
+    spb = (max(4096, ih * iw // cfg.boundary_sparse_factor)
+           if cfg.sparse_factor else None)
 
-    # weak/strong edge labeling (oclrect.c:262-312)
+    # weak/strong edge labeling (oclrect.c:262-312).  The reference labels
+    # with bgc=-1 (every pixel, oclrect.c:274); zero-valued components
+    # always die at the strength filter (their thinned edge magnitude is
+    # 0), so labeling only the set pixels (bgc=0, sparse) is interior-
+    # equivalent — the only deviation is at frame borders, where the
+    # reference accidentally marks border pixels of isolated zero-islands
+    # as "edges" for the downstream blur.
     jn = morphology.simple_junction(edge_bin, positive_only=True)
     conn = morphology.simple_connect_rect(jn)
     s = morphology.stringify(conn, 0)
     s = morphology.stringify(s, 1)
-    lbl = ccl.label_components(s, -1, cfg.ccl_passes, cfg.ccl_jumps)
+    lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps,
+                               sparse_cap=sp)
     st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale)
     weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
     weak_bin = (weak_lbl > 0).astype(jnp.int32)
@@ -154,7 +165,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
 
     # boundary labeling (oclrect.c:340-342)
     bmark = regions.mark_boundary(seg)
-    boundary = ccl.label_components(bmark, -1, cfg.ccl_passes, cfg.ccl_jumps)
+    boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
+                                    cfg.ccl_jumps, sparse_cap=spb)
 
     # polylines on strong edges (oclrect.c:361)
     cap = cfg.ls_cap_for(iw, ih)
@@ -190,7 +202,7 @@ def rect_stage_images(bgr, cfg: PipelineConfig = DEFAULT_CONFIG):
     conn = morphology.simple_connect_rect(jn)
     s = morphology.stringify(conn, 0)
     s = morphology.stringify(s, 1)
-    lbl = ccl.label_components(s, -1, cfg.ccl_passes, cfg.ccl_jumps)
+    lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps)
     st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
     weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
     weak_bin = (weak_lbl > 0).astype(jnp.int32)
