@@ -30,7 +30,10 @@ class PipelineConfig:
     mkpl_iters: int = 16          # N, oclpolyline.c:188 (N-1 subdivision rounds)
     min_n_index: int = 4          # MINNINDEX, oclpolyline.cl:21
     min_edge_len: float = 1.0     # MINEDGELEN, oclpolyline.cl:20
-    ls_capacity: int = 8192       # fixed segment arena capacity (dynamic in ref)
+    # Segment arena capacity.  The reference's byte budget allows
+    # iw*ih*16/56 ~ 263k entries at 720p (oclrect.c:361); sensor-noise
+    # arcs routinely reach tens of thousands.
+    ls_capacity: int = 65536
     # ---- rect pipeline --------------------------------------------------
     strength_scale: float = 10000.0  # fixed-point scale, oclimgutil.cl:648
     strength_weak: int = 500      # oclrect.c:277
@@ -47,10 +50,12 @@ class PipelineConfig:
     strength_poly: int = 500      # poly.cpp:120
     # ---- sparse labeling ------------------------------------------------
     # Pointer-jump/scatter machinery runs over compacted foreground slot
-    # lists of capacity H*W//sparse_factor (0 = dense).  Edges after
-    # thinning are ~2-5% of the frame, so /8 is a ~3x safety margin.
-    sparse_factor: int = 8
-    boundary_sparse_factor: int = 3   # boundary strips are denser
+    # lists of capacity H*W//sparse_factor (0 = dense).  NMS thinning of
+    # sensor noise keeps ~30% of pixels regardless of noise amplitude
+    # (local-maxima fraction is scale-free), so /3 is the worst-case-safe
+    # default; clean synthetic scenes can use /8+.
+    sparse_factor: int = 3
+    boundary_sparse_factor: int = 3
     # ---- hypothesis / pose ----------------------------------------------
     probe_n: int = 3              # probe points along segment, oclrect.c:1070
     probe_dist: int = 2           # perpendicular probe offsets, oclrect.c:1070

@@ -189,13 +189,92 @@ def merge_mask(junction):
     return (m & ~clear).astype(jnp.int32)
 
 
+def _merge_pairs(packed, mask, edge_label):
+    """Symmetric mergeability of horizontally/vertically adjacent pixels
+    under labelMergeMain's rules (oclrect.cl:300-334) plus the
+    unconditional labelxPreprocess seed links (oclrect.cl:289-298).
+
+    For the pair (a, b) with b right of / below a, the kernel's four
+    directional attempts collapse to:
+        edge_label[b] <= 0  AND  (colors equal OR mask[a] OR mask[b])
+    with the merging pixel interior; preprocess adds color-equal links
+    regardless of edges/masks/interior (up always, left only when the up
+    pixel differs).  Returns (mh (H, W-1), mv (H-1, W)) bool."""
+    h, w = packed.shape
+    eq_h = packed[:, 1:] == packed[:, :-1]
+    eq_v = packed[1:, :] == packed[:-1, :]
+    m = mask != 0
+    blocked_h = edge_label[:, 1:] > 0          # edge at the right pixel
+    blocked_v = edge_label[1:, :] > 0          # edge at the lower pixel
+
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
+    int_h = interior[:, 1:] | interior[:, :-1]
+    int_v = interior[1:, :] | interior[:-1, :]
+
+    mh = int_h & ~blocked_h & (eq_h | m[:, 1:] | m[:, :-1])
+    mv = int_v & ~blocked_v & (eq_v | m[1:, :] | m[:-1, :])
+
+    # preprocess seeds (oclrect.cl:293-296): up link whenever equal; left
+    # link only when the up pixel differs (the elif)
+    up_eq_full = jnp.zeros((h, w), bool).at[1:, :].set(eq_v)
+    mh = mh | (eq_h & ~up_eq_full[:, 1:])
+    mv = mv | eq_v
+    return mh, mv
+
+
+def _segmented_min_1d(vals, link):
+    """Per-row segmented min over maximal runs: vals (..., W) int32,
+    link (..., W-1) bool (True = position x connected to x+1).
+    Gather-free: two associative scans."""
+    def seg_op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, jnp.minimum(av, bv), bv), af & bf
+
+    ax = vals.ndim - 1
+    f_fwd = jnp.concatenate(
+        [jnp.zeros(vals.shape[:-1] + (1,), bool), link], axis=-1)
+    fwd, _ = jax.lax.associative_scan(seg_op, (vals, f_fwd), axis=ax)
+    f_bwd = jnp.concatenate(
+        [link, jnp.zeros(vals.shape[:-1] + (1,), bool)], axis=-1)
+    bwd, _ = jax.lax.associative_scan(seg_op, (vals, f_bwd), axis=ax,
+                                      reverse=True)
+    return jnp.minimum(fwd, bwd)
+
+
 def label_merge(packed, mask, edge_label, n_passes: int = 8,
-                n_jumps: int = 8):
-    """Region-merge CCL (labelxPreprocess + labelMergeMain x8,
-    oclrect.cl:289-334): 4-neighbor min-label propagation where the
-    quantized colors match OR the merge mask is set, blocked by strong
-    edges (edge_label > 0) with the reference's up/left-vs-right/down
-    asymmetry.  Every pixel is foreground."""
+                n_jumps: int = 8, n_rounds: int = 16):
+    """Region-merge CCL with min-flat-index labels (labelxPreprocess +
+    labelMergeMain, oclrect.cl:289-334).
+
+    TPU formulation: alternating row/column segmented-min scans over the
+    symmetric pair-mergeability graph — zero gathers (the reference's
+    atomic-min + pointer jumping needs 72 serial 1M-element gathers).
+    Each round floods every maximal horizontal run then every vertical
+    run; convergence depth is the row/column alternation depth of the
+    region shapes (`n_rounds` default handles any realistic segmentation;
+    the reference's own 8 passes x 8 jumps has comparable reach limits).
+    n_passes/n_jumps are accepted for API compatibility."""
+    h, w = packed.shape
+    mh, mv = _merge_pairs(packed, mask, edge_label)
+    label = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+
+    def one_round(_, label):
+        label = _segmented_min_1d(label, mh)
+        label = _segmented_min_1d(label.T, mv.T).T
+        return label
+
+    label = jax.lax.fori_loop(0, n_rounds, one_round, label)
+    return label.astype(jnp.int32)
+
+
+def label_merge_jump(packed, mask, edge_label, n_passes: int = 8,
+                     n_jumps: int = 8):
+    """The direct transcription of labelMergeMain (atomic-min -> scatter
+    min + pointer jumping); kept for validation and as a fallback for
+    pathological region shapes."""
     h, w = packed.shape
     n = h * w
     idx2d = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
