@@ -41,8 +41,25 @@ def _pointer_jump(label_ext, g, n_jumps):
     return g
 
 
+def _scan_flood(label_flat, pix, bgc, sent, h, w):
+    """Row+column segmented-min flood over equal-value runs (gather-free).
+
+    Straight runs of a component converge in one shot, so pointer jumping
+    only has to cover the turns — with this boost 2-3 jumps per pass
+    converge where the plain formulation needs 6-8."""
+    from rectdetect_tpu.ops.regions import _segmented_min_1d
+    lbl = label_flat.reshape(h, w)
+    fgm = pix != bgc
+    link_h = (pix[:, 1:] == pix[:, :-1]) & fgm[:, 1:] & fgm[:, :-1]
+    link_v = (pix[1:, :] == pix[:-1, :]) & fgm[1:, :] & fgm[:-1, :]
+    lbl = _segmented_min_1d(lbl, link_h)
+    lbl = _segmented_min_1d(lbl.T, link_v.T).T
+    return lbl.reshape(-1)
+
+
 def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
-                     compress: bool = True, sparse_cap: int | None = None):
+                     compress: bool = True, sparse_cap: int | None = None,
+                     scan_boost: bool = False):
     """8-connected CCL over equal pixel values; background bgc -> label -1.
 
     pix: (H, W) int32.  Returns (H, W) int32 labels = min flat index of the
@@ -114,12 +131,16 @@ def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
     label = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
 
     def one_pass(label):
-        g_dense = neighbor_min(label[:n])
+        body = label[:n]
+        if scan_boost:
+            body = _scan_flood(body, pix, bgc, sent, h, w)
+        g_dense = neighbor_min(body)
         g_s = jnp.where(live, g_dense[slots], sent)
         for _ in range(n_jumps):
             g_s = label[jnp.minimum(g_s, sent)]
         og_s = jnp.where(live, label[slots], sent)
-        new = label.at[og_s].min(g_s, mode="drop")
+        new = label.at[:n].set(jnp.minimum(label[:n], body))
+        new = new.at[og_s].min(g_s, mode="drop")
         new = new.at[jnp.where(live, slots, sent)].min(g_s, mode="drop")
         return new.at[sent].set(sent)
 
@@ -192,8 +213,23 @@ def _interior_mask(h, w, margin):
     return jnp.asarray(_interior_cache(h, w, margin))
 
 
+def _scan_flood_arcs(label_flat, number, sent, h, w):
+    """Row+column segmented-min flood with the labelpl adjacency
+    (|number difference| <= 1, both foreground)."""
+    from rectdetect_tpu.ops.regions import _segmented_min_1d
+    lbl = label_flat.reshape(h, w)
+    fgm = number > 0
+    link_h = (jnp.abs(number[:, 1:] - number[:, :-1]) <= 1) & \
+        fgm[:, 1:] & fgm[:, :-1]
+    link_v = (jnp.abs(number[1:, :] - number[:-1, :]) <= 1) & \
+        fgm[1:, :] & fgm[:-1, :]
+    lbl = _segmented_min_1d(lbl, link_h)
+    lbl = _segmented_min_1d(lbl.T, link_v.T).T
+    return lbl.reshape(-1)
+
+
 def label_arcs(number, n_passes: int = 12, n_jumps: int = 8,
-               sparse_cap: int | None = None):
+               sparse_cap: int | None = None, scan_boost: bool = False):
     """Group string pixels into arcs of consecutive arc-length numbers.
 
     Mirrors labelpl_preprocess/labelpl_main (oclpolyline.cl:312-355, host
@@ -249,12 +285,16 @@ def label_arcs(number, n_passes: int = 12, n_jumps: int = 8,
     label = jnp.concatenate([label, jnp.asarray([sent], jnp.int32)])
 
     def one_pass(label):
-        g_dense = neighbor_min(label[:n])
+        body = label[:n]
+        if scan_boost:
+            body = _scan_flood_arcs(body, number, sent, h, w)
+        g_dense = neighbor_min(body)
         g_s = jnp.where(live, g_dense[slots], sent)
         for _ in range(n_jumps):
             g_s = label[jnp.minimum(g_s, sent)]
         og_s = jnp.where(live, label[slots], sent)
-        new = label.at[og_s].min(g_s, mode="drop")
+        new = label.at[:n].set(jnp.minimum(label[:n], body))
+        new = new.at[og_s].min(g_s, mode="drop")
         new = new.at[jnp.where(live, slots, sent)].min(g_s, mode="drop")
         return new.at[sent].set(sent)
 

@@ -410,14 +410,14 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
     strings = morphology.remove_branch(s)
 
     label = label_components(strings, 0, cfg.ccl_passes, cfg.ccl_jumps,
-                             sparse_cap=sp)
+                             sparse_cap=sp, scan_boost=sp is not None)
     jn2 = morphology.simple_junction(strings)
     nends = count_ends(jn2, label)
     strings, label = break_loops(strings, label, nends)
 
     number, _, _ = arc_number(label, cfg.number_doublings, sparse_cap=sp)
     arcs = label_arcs(number, cfg.labelpl_passes, cfg.labelpl_jumps,
-                      sparse_cap=sp)
+                      sparse_cap=sp, scan_boost=sp is not None)
     sizes = component_sizes(arcs, ignore=0)
     filtered = filter_size(arcs, sizes, size_thre)
     dense, _ = relabel_dense(filtered)

@@ -117,6 +117,21 @@ def rect_frame(bgr, tan_aov, cfg: PipelineConfig = DEFAULT_CONFIG
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def rect_frames(frames, tan_aov, cfg: PipelineConfig = DEFAULT_CONFIG
+                ) -> RectResult:
+    """Batched throughput mode: frames (B,H,W,3) -> RectResult with a
+    leading B axis.  One compiled program per batch shape; amortizes
+    dispatch and fills the chip better than frame-at-a-time (the
+    single-frame path is the latency mode, mirroring the reference's
+    per-frame loop)."""
+    def one(f):
+        fe = edge_frontend(f, cfg)
+        return rect_tail(fe.packed0, fe.edge_thin, fe.edge_bin, tan_aov,
+                         cfg)
+    return jax.vmap(one)(frames)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
               cfg: PipelineConfig = DEFAULT_CONFIG) -> RectResult:
     """Everything after the edge front-end (oclrect.c:262-381 +
@@ -140,7 +155,7 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     s = morphology.stringify(conn, 0)
     s = morphology.stringify(s, 1)
     lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps,
-                               sparse_cap=sp)
+                               sparse_cap=sp, scan_boost=sp is not None)
     st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale)
     weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
     weak_bin = (weak_lbl > 0).astype(jnp.int32)
@@ -166,7 +181,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     # boundary labeling (oclrect.c:340-342)
     bmark = regions.mark_boundary(seg)
     boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
-                                    cfg.ccl_jumps, sparse_cap=spb)
+                                    cfg.ccl_jumps, sparse_cap=spb,
+                                    scan_boost=spb is not None)
 
     # polylines on strong edges (oclrect.c:361)
     cap = cfg.ls_cap_for(iw, ih)

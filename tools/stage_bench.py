@@ -67,8 +67,10 @@ def main():
     t = amortized(morph, [(f.edge_bin,) for f in fes], n)
     print(f"morphology          {t*1000:9.2f} ms", flush=True)
 
-    cclf = jax.jit(lambda s: ccl.label_components(s, -1, cfg.ccl_passes,
-                                                  cfg.ccl_jumps))
+    sp = max(4096, h * w // cfg.sparse_factor) if cfg.sparse_factor else None
+    cclf = jax.jit(lambda s: ccl.label_components(s, 0, cfg.ccl_passes,
+                                                  cfg.ccl_jumps,
+                                                  sparse_cap=sp))
     strings = [morph(f.edge_bin) for f in fes]
     t = amortized(cclf, [(s,) for s in strings], n)
     print(f"ccl (one instance)  {t*1000:9.2f} ms", flush=True)
