@@ -109,8 +109,10 @@ def arc_number(label, n_doublings: int = 15, sparse_cap: int | None = None):
     dist = jnp.where(absorbing, 0, 1).astype(jnp.int32)
 
     for _ in range(n_doublings):
-        dist = dist + dist[ptr]
-        ptr = ptr[ptr]
+        packed = jnp.stack([dist, ptr], axis=1)   # fused row gather
+        rows = packed[ptr]
+        dist = dist + rows[:, 0]
+        ptr = rows[:, 1]
 
     # States on residual cycles (a breakLoops root whose removal left a
     # diagonal reconnection) never absorb.  The reference's fixed-hop walks
@@ -165,8 +167,10 @@ def _arc_number_sparse(label, n0, n1, n_doublings: int, cap: int):
     absorb0 = absorbing
 
     for _ in range(n_doublings):
-        dist = dist + dist[ptr]
-        ptr = ptr[ptr]
+        packed = jnp.stack([dist, ptr], axis=1)   # fused row gather
+        rows = packed[ptr]
+        dist = dist + rows[:, 0]
+        ptr = rows[:, 1]
 
     absorbed = absorb0[ptr]
     endpix = p_rep[ptr]

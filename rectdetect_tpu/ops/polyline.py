@@ -199,11 +199,19 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
     def body(_, state):
         a, l = state
         lc = jnp.clip(l, 0, cap - 1)
-        live_px = (l > 0) & (l < cap) & (a.polyid[lc] != 0)
+
+        # TPU gathers are per-row overhead-bound, so fetch every per-pixel
+        # arena field with ONE row gather of a packed (cap, 5) matrix
+        # instead of five scalar gathers.
+        packed = jnp.stack([a.sx, a.sy, a.ex, a.ey,
+                            a.polyid.astype(jnp.float32)], axis=1)
+        rows = packed[lc]                               # (S, 5)
+        seg_sx, seg_sy = rows[:, 0], rows[:, 1]
+        seg_ex, seg_ey = rows[:, 2], rows[:, 3]
+        live_px = (l > 0) & (l < cap) & (rows[:, 4] != 0)
 
         # pass1: fixed-point distance to the current chord, per pixel.
-        d = _closest_point_dist(a.sx[lc], a.sy[lc], a.ex[lc], a.ey[lc],
-                                px, py)
+        d = _closest_point_dist(seg_sx, seg_sy, seg_ex, seg_ey, px, py)
         dist = (d * FIX).astype(jnp.int32)
         dist = jnp.where(live_px, dist, -1)
         tgt = jnp.where(live_px, l, cap)
@@ -283,9 +291,12 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
                         npix=npix2, level=level2.astype(jnp.int32),
                         count=new_count.astype(jnp.int32))
 
-        # pass3: move pixels past the split one right-pointer hop.
-        move = live_px & (a2.end_index[lc] < num) & (a2.polyid[lc] != 0)
-        l_new = jnp.where(move, a2.right_ptr[lc], l)
+        # pass3: move pixels past the split one right-pointer hop
+        # (fused row gather of the three fields it reads).
+        p3 = jnp.stack([a2.end_index, a2.polyid, a2.right_ptr], axis=1)
+        rows3 = p3[lc]
+        move = live_px & (rows3[:, 0] < num) & (rows3[:, 1] != 0)
+        l_new = jnp.where(move, rows3[:, 2], l)
         return a2, l_new
 
     arena, l_end = jax.lax.fori_loop(0, n_iters - 1, body,
@@ -333,10 +344,13 @@ def refine(arena: SegmentArena, label, comp=None):
 
     sxr = jnp.rint(arena.sx)
     syr = jnp.rint(arena.sy)
-    vx = px - sxr[lc]
-    vy = py - syr[lc]
-    ax0 = vx * dirx[lc] + vy * diry[lc]
-    ay = vx * vdx[lc] + vy * vdy[lc]
+    # one fused row gather for the four per-segment fields
+    packed = jnp.stack([sxr, syr, dirx, diry], axis=1)
+    rows = packed[lc]
+    vx = px - rows[:, 0]
+    vy = py - rows[:, 1]
+    ax0 = vx * rows[:, 2] + vy * rows[:, 3]
+    ay = -vx * rows[:, 3] + vy * rows[:, 2]    # v . (-diry, dirx)
 
     nseg = _seg_scatter(cap, tgt, jnp.where(valid, 1.0, 0.0), "add", 0.0)
     s_x = _seg_scatter(cap, tgt, jnp.where(valid, ax0, 0.0), "add", 0.0)
@@ -344,8 +358,9 @@ def refine(arena: SegmentArena, label, comp=None):
     nz = jnp.maximum(nseg, 1.0)
     m_x = s_x / nz
     m_y = s_y / nz
-    dx0 = ax0 - m_x[lc]
-    dy0 = ay - m_y[lc]
+    means = jnp.stack([m_x, m_y], axis=1)[lc]
+    dx0 = ax0 - means[:, 0]
+    dy0 = ay - means[:, 1]
     var = _seg_scatter(cap, tgt, jnp.where(valid, dx0 * dx0, 0.0), "add", 0.0)
     cov = _seg_scatter(cap, tgt, jnp.where(valid, dx0 * dy0, 0.0), "add", 0.0)
 
