@@ -52,8 +52,12 @@ def main(argv=None) -> int:
         writer = common.open_writer(argv[3], iw, ih)
 
     from rectdetect_tpu.pipeline.video import VideoRectDetector, FpsMeter
+    from rectdetect_tpu.runtime.calibrate import load_calibrated_config
 
-    det = VideoRectDetector(tan_aov, device=dev)
+    # loadPlan analog (rect.cpp:86 / vidrect.cpp:125): apply persisted
+    # per-device calibration if present
+    cfg = load_calibrated_config(ih, iw)
+    det = VideoRectDetector(tan_aov, cfg=cfg, device=dev)
     meter = FpsMeter()
     frames = [None, None]
     n = 0
