@@ -18,13 +18,15 @@ class PipelineConfig:
     # ---- edge front-end -------------------------------------------------
     blur_radius: int = 2          # reference runs iirblur with r=2 (oclrect.c:248)
     # ---- connected component labeling (fixed trip counts, ref values) ---
-    ccl_passes: int = 10          # MAXPASS, oclimgutil.c:229
-    # pointer-jump depth per pass (the reference uses 6, oclimgutil.cl:531;
-    # with the row/column scan flood straight runs converge instantly, so
-    # 3 jumps reach the same fixpoint with half the serial gathers)
-    ccl_jumps: int = 3
+    # The reference runs MAXPASS=10 passes x 6 jumps (oclimgutil.c:229,
+    # oclimgutil.cl:531).  With the row/column scan flood each pass is
+    # strictly stronger; 8x2 converges on 45%-density noise and spirals
+    # (tests/test_ccl.py::test_convergence_margin pins this empirically)
+    # at under half the serial gather count.
+    ccl_passes: int = 8
+    ccl_jumps: int = 2
     labelpl_passes: int = 12      # N, oclpolyline.c:172
-    labelpl_jumps: int = 3        # ref 8, oclpolyline.cl:340; see ccl_jumps
+    labelpl_jumps: int = 2        # ref 8, oclpolyline.cl:340; see ccl_jumps
     labelmerge_passes: int = 8    # oclrect.c:328
     labelmerge_jumps: int = 8     # oclrect.cl:328
     # ---- arc numbering --------------------------------------------------

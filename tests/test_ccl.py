@@ -119,3 +119,34 @@ def test_junction_positive_only():
     got = np.asarray(M.simple_junction(jnp.asarray(img), positive_only=True))
     want = G.simple_junction(img, positive_only=True)
     np.testing.assert_array_equal(got, want)
+
+
+def test_convergence_margin_adversarial():
+    """Pins the empirical convergence bound behind the config defaults
+    (ccl_passes=8, ccl_jumps=2 with scan flood): 45%-density noise and a
+    spiral must reach the exact converged fixpoint."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.config import DEFAULT_CONFIG as cfg
+    from rectdetect_tpu.ops.ccl import (label_components,
+                                        label_components_converged)
+
+    r = np.random.default_rng(7)
+    cases = [(r.random((180, 320)) < 0.45).astype(np.int32)]
+    sp = np.zeros((160, 160), np.int32)
+    x0 = y0 = 2
+    x1 = y1 = 157
+    while x1 - x0 > 4:
+        sp[y0, x0:x1] = 1
+        sp[y0:y1, x1] = 1
+        sp[y1, x0 + 3:x1 + 1] = 1
+        sp[y0 + 3:y1 + 1, x0 + 3] = 1
+        x0 += 6; y0 += 6; x1 -= 6; y1 -= 6
+    cases.append(sp)
+
+    for img in cases:
+        ref = np.asarray(label_components_converged(jnp.asarray(img), 0))
+        got = np.asarray(label_components(
+            jnp.asarray(img), 0, cfg.ccl_passes, cfg.ccl_jumps,
+            sparse_cap=img.size, scan_boost=True))
+        np.testing.assert_array_equal(got, ref)
