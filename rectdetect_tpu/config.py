@@ -35,10 +35,11 @@ class PipelineConfig:
     mkpl_iters: int = 16          # N, oclpolyline.c:188 (N-1 subdivision rounds)
     min_n_index: int = 4          # MINNINDEX, oclpolyline.cl:21
     min_edge_len: float = 1.0     # MINEDGELEN, oclpolyline.cl:20
-    # Segment arena capacity.  The reference's byte budget allows
-    # iw*ih*16/56 ~ 263k entries at 720p (oclrect.c:361); sensor-noise
-    # arcs routinely reach tens of thousands.
-    ls_capacity: int = 65536
+    # Segment arena capacity.  Arcs survive only above sizeThre (~20 px),
+    # so even a pathological all-structure 720p frame yields < 16k arcs
+    # (16k x 21 px = 37% of the frame); the reference's byte budget allows
+    # 263k (oclrect.c:361) but never approaches it post-filter.
+    ls_capacity: int = 16384
     # ---- rect pipeline --------------------------------------------------
     strength_scale: float = 10000.0  # fixed-point scale, oclimgutil.cl:648
     strength_weak: int = 500      # oclrect.c:277
@@ -61,6 +62,10 @@ class PipelineConfig:
     # default; clean synthetic scenes can use /8+.
     sparse_factor: int = 3
     boundary_sparse_factor: int = 3
+    # mkpl/refine run after the arc size filter (> sizeThre px), which
+    # kills nearly all noise arcs: measured 0.32% density on a 30%-noise
+    # 720p frame.  /48 (~2%) keeps a >5x margin at a ~20x cost saving.
+    arc_sparse_factor: int = 48
     # ---- hypothesis / pose ----------------------------------------------
     probe_n: int = 3              # probe points along segment, oclrect.c:1070
     probe_dist: int = 2           # perpendicular probe offsets, oclrect.c:1070

@@ -440,7 +440,8 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
     comp = None
     if sp is not None:
         from rectdetect_tpu.ops.compact import compact_mask
-        comp = compact_mask((dense > 0).reshape(-1), sp)
+        sp_arc = max(4096, h * w // cfg.arc_sparse_factor)
+        comp = compact_mask((dense > 0).reshape(-1), sp_arc)
     arena = mkpl_init(dense, number, cap, comp)
     arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
                                  cfg.mkpl_iters, comp)
