@@ -29,9 +29,9 @@ def main(argv=None) -> int:
     did = int(argv[1]) if len(argv) >= 2 else 0
     dev = common.pick_device(did)
 
-    cap = common.open_capture(argv[2] if len(argv) >= 3 else None)
-    iw = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-    ih = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    from rectdetect_tpu.runtime.native import FramePump
+    pump = FramePump(argv[2] if len(argv) >= 3 else None)
+    iw, ih = pump.width, pump.height
     print(f"Resolution : {iw} x {ih}")
 
     writer = None
@@ -49,15 +49,15 @@ def main(argv=None) -> int:
     meter = FpsMeter()
     n = 0
 
-    ok, frame = cap.read()
-    if not ok:
+    frame = pump.next(timeout_ms=5000)
+    if frame is None:
         sys.exit("no frames")
     det.enqueue(frame)
     n += 1
 
     while True:
-        ok, frame = cap.read()
-        if not ok:
+        frame = pump.next(timeout_ms=5000)
+        if frame is None:
             break
         det.enqueue(frame)
         n += 1
@@ -79,7 +79,7 @@ def main(argv=None) -> int:
 
     if writer is not None:
         writer.release()
-    cap.release()
+    pump.close()
     cv2.destroyAllWindows()
     return 0
 
