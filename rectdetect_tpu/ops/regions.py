@@ -359,6 +359,29 @@ def despeckle2(label, sizes, thre: int = 16):
     return jnp.where(small, best_lb, label).astype(jnp.int32)
 
 
+def color_reassign(packed, label):
+    """Replace every pixel's color with its region's mean color
+    (colorReassign_pass0/1, oclrect.cl:392-424 — present but disabled in
+    the reference's pipeline, oclrect.c:346-359; provided for capability
+    parity and debug rendering).  Uses the same x128 fixed-point
+    accumulation."""
+    h, w = packed.shape
+    n = h * w
+    lab = color.unpack_labf(packed)
+    lbl = label.reshape(-1)
+    ok = lbl >= 0
+    tgt = jnp.where(ok, jnp.clip(lbl, 0, n - 1), n)
+    acc = jnp.zeros((n + 1, 3), jnp.int32)
+    fx = jnp.trunc(lab.reshape(-1, 3) * 128.0).astype(jnp.int32)
+    acc = acc.at[tgt].add(jnp.where(ok[:, None], fx, 0), mode="drop")
+    cnt = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(
+        jnp.where(ok, 1, 0), mode="drop")
+    mean = acc[tgt].astype(jnp.float32) / \
+        jnp.maximum(cnt[tgt, None].astype(jnp.float32) * 128.0, 1.0)
+    out = jnp.where(ok[:, None], mean, lab.reshape(-1, 3))
+    return color.pack_lab(out.reshape(h, w, 3))
+
+
 def mark_boundary(label):
     """Pixels within 2 px of a different region keep their label, others
     get -1 (markBoundary, oclrect.cl:373-390); 2px borders are -1."""

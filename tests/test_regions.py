@@ -118,3 +118,44 @@ def test_label_merge_and_despeckle2(scene):
     gb = greg.mark_boundary(g2)
     tb = np.asarray(treg.mark_boundary(jnp.asarray(t2)))
     np.testing.assert_array_equal(tb, gb)
+
+
+def test_color_reassign_mean(scene):
+    packed, _ = scene
+    label = np.zeros(packed.shape, np.int64)
+    label[:18, :] = 0
+    label[18:, :] = 18 * packed.shape[1]
+    got = np.asarray(treg.color_reassign(
+        jnp.asarray(packed.astype(np.int32)),
+        jnp.asarray(label.astype(np.int32))))
+    # each region becomes one constant color
+    assert len(np.unique(got[:18])) == 1
+    assert len(np.unique(got[18:])) == 1
+
+
+def test_xrandom_reference_ladder():
+    from rectdetect_tpu.ops.rand import xrandom_pair, rand_field
+    import jax.numpy as jnp
+
+    def ref_xrandom(s):
+        t = s
+        for sh, x in ((24, 0xf3dd0fb7820fde37), (6, 0xe6c6ac2c59e52811),
+                      (18, 0x2fc7871fff7c5b45), (48, 0x47c7e1f70aa4f7c5),
+                      (0, 0x094f02b7fb9ba895), (12, 0x89afda817e744570),
+                      (36, 0xc7277d052c7bf14b)):
+            n = (s >> sh) & 63
+            t = ((t << n) | (t >> ((64 - n) % 64))) & 0xFFFFFFFFFFFFFFFF
+            t ^= x
+        return t
+
+    for s in (1, 12345, 0xdeadbeefcafef00d, 0x8000000000000001):
+        hi = jnp.asarray([s >> 32], jnp.uint32)
+        lo = jnp.asarray([s & 0xffffffff], jnp.uint32)
+        ghi, glo = xrandom_pair(hi, lo)
+        got = (int(ghi[0]) << 32) | int(glo[0])
+        assert got == ref_xrandom(s), hex(s)
+    # rand kernel form runs and is deterministic
+    a = np.asarray(rand_field(64, seed=7))
+    b = np.asarray(rand_field(64, seed=7))
+    np.testing.assert_array_equal(a, b)
+    assert len(np.unique(a)) > 32
