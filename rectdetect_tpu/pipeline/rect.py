@@ -150,33 +150,38 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     # equivalent — the only deviation is at frame borders, where the
     # reference accidentally marks border pixels of isolated zero-islands
     # as "edges" for the downstream blur.
-    jn = morphology.simple_junction(edge_bin, positive_only=True)
-    conn = morphology.simple_connect_rect(jn)
-    s = morphology.stringify(conn, 0)
-    s = morphology.stringify(s, 1)
-    lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps,
-                               sparse_cap=sp, scan_boost=sp is not None)
-    st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale)
-    weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
-    weak_bin = (weak_lbl > 0).astype(jnp.int32)
+    with jax.named_scope("edge_labeling"):
+        jn = morphology.simple_junction(edge_bin, positive_only=True)
+        conn = morphology.simple_connect_rect(jn)
+        s = morphology.stringify(conn, 0)
+        s = morphology.stringify(s, 1)
+        lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps,
+                                   sparse_cap=sp, scan_boost=sp is not None)
+        st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale)
+        weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
+        weak_bin = (weak_lbl > 0).astype(jnp.int32)
 
     # edge-limited blur + quantize + despeckle (oclrect.c:286-303)
-    blurred = regions.blblur(packed0, weak_bin, cfg.blblur_iters)
-    quant = regions.quantize_packed(blurred, cfg.quantize_levels,
-                                    cfg.quantize_levels, cfg.quantize_levels)
-    despeck = regions.despeckle(quant, edge_thin)
+    with jax.named_scope("region_smoothing"):
+        blurred = regions.blblur(packed0, weak_bin, cfg.blblur_iters)
+        quant = regions.quantize_packed(blurred, cfg.quantize_levels,
+                                        cfg.quantize_levels,
+                                        cfg.quantize_levels)
+        despeck = regions.despeckle(quant, edge_thin)
 
     # strong edges (oclrect.c:307-312)
     strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)
     strong_bin = (strong_lbl > 0).astype(jnp.int32)
 
     # merge masks + region CCL + cleanup (oclrect.c:314-336)
-    jn2 = morphology.simple_junction(strong_lbl, positive_only=True)
-    mask = regions.merge_mask(jn2)
-    seg = regions.label_merge(despeck, mask, strong_lbl,
-                              cfg.labelmerge_passes, cfg.labelmerge_jumps)
-    sizes = regions.label_sizes(seg)
-    seg = regions.despeckle2(seg, sizes, cfg.despeckle2_thre)
+    with jax.named_scope("region_merge"):
+        jn2 = morphology.simple_junction(strong_lbl, positive_only=True)
+        mask = regions.merge_mask(jn2)
+        seg = regions.label_merge(despeck, mask, strong_lbl,
+                                  cfg.labelmerge_passes,
+                                  cfg.labelmerge_jumps)
+        sizes = regions.label_sizes(seg)
+        seg = regions.despeckle2(seg, sizes, cfg.despeckle2_thre)
 
     # boundary labeling (oclrect.c:340-342)
     bmark = regions.mark_boundary(seg)
@@ -185,15 +190,21 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
                                     scan_boost=spb is not None)
 
     # polylines on strong edges (oclrect.c:361)
-    cap = cfg.ls_cap_for(iw, ih)
-    arena, lsid = polyline.polyline_execute(strong_bin, cfg.minerror_rect,
-                                            cfg.size_thre_rect, cap, cfg)
+    with jax.named_scope("polyline"):
+        cap = cfg.ls_cap_for(iw, ih)
+        arena, lsid = polyline.polyline_execute(
+            strong_bin, cfg.minerror_rect, cfg.size_thre_rect, cap, cfg)
 
     # hypotheses + reduction + pose (oclrect.c:1049-1226, on-chip)
-    segs, valid, status = _hypotheses(arena, lsid, boundary, iw, ih, cfg)
-    corners, ok = gquad.reduce_groups(segs, valid, cfg.hull_max_vertices)
-    c2, c3, val = gpose.pose_estimate(corners, iw, ih, tan_aov,
-                                      cfg.cg_iters, cfg.cg_line_search_iters)
+    with jax.named_scope("hypotheses"):
+        segs, valid, status = _hypotheses(arena, lsid, boundary, iw, ih,
+                                          cfg)
+        corners, ok = gquad.reduce_groups(segs, valid,
+                                          cfg.hull_max_vertices)
+    with jax.named_scope("pose"):
+        c2, c3, val = gpose.pose_estimate(corners, iw, ih, tan_aov,
+                                          cfg.cg_iters,
+                                          cfg.cg_line_search_iters)
     screen = gpose.looks_like_a_screen(c2, c3, val, cfg.accept_value,
                                        cfg.aspect_limit,
                                        cfg.offset_ratio_limit)
