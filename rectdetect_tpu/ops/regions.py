@@ -210,11 +210,15 @@ def _merge_pairs(packed, mask, edge_label):
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
     interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
-    int_h = interior[:, 1:] | interior[:, :-1]
-    int_v = interior[1:, :] | interior[:-1, :]
 
-    mh = int_h & ~blocked_h & (eq_h | m[:, 1:] | m[:, :-1])
-    mv = int_v & ~blocked_v & (eq_v | m[1:, :] | m[:-1, :])
+    # each directional attempt separately: the merging pixel must be
+    # interior and supplies the mask term (oclrect.cl:306-331)
+    mh = ~blocked_h & (
+        (interior[:, :-1] & (eq_h | m[:, :-1])) |    # a merges right
+        (interior[:, 1:] & (eq_h | m[:, 1:])))       # b merges left
+    mv = ~blocked_v & (
+        (interior[:-1, :] & (eq_v | m[:-1, :])) |    # a merges down
+        (interior[1:, :] & (eq_v | m[1:, :])))       # b merges up
 
     # preprocess seeds (oclrect.cl:293-296): up link whenever equal; left
     # link only when the up pixel differs (the elif)
@@ -245,7 +249,7 @@ def _segmented_min_1d(vals, link):
 
 
 def label_merge(packed, mask, edge_label, n_passes: int = 8,
-                n_jumps: int = 8, n_rounds: int = 16):
+                n_jumps: int = 8, n_rounds: int = 12):
     """Region-merge CCL with min-flat-index labels (labelxPreprocess +
     labelMergeMain, oclrect.cl:289-334).
 

@@ -159,3 +159,22 @@ def test_xrandom_reference_ladder():
     b = np.asarray(rand_field(64, seed=7))
     np.testing.assert_array_equal(a, b)
     assert len(np.unique(a)) > 32
+
+
+def test_label_merge_side_asymmetry_adversarial():
+    """Salt-and-pepper colors + random masks/edges exercise the per-side
+    interiority/mask asymmetry of labelMergeMain (oclrect.cl:306-331) that
+    a symmetric pair predicate gets wrong."""
+    r = np.random.default_rng(3)
+    h, w = 120, 160
+    pix = r.integers(0, 4, (h, w)).astype(np.int64)
+    pix[20:80, 30:90] = 7
+    pix[40:110, 100:150] = 9
+    mask = (r.random((h, w)) < 0.02).astype(np.int64)
+    elab = np.where(r.random((h, w)) < 0.05,
+                    np.arange(h * w).reshape(h, w) + 1, -1)
+    ref = greg.label_merge(pix, mask, elab)
+    got = np.asarray(treg.label_merge(
+        jnp.asarray(pix.astype(np.int32)), jnp.asarray(mask.astype(np.int32)),
+        jnp.asarray(elab.astype(np.int32))))
+    np.testing.assert_array_equal(got, ref)
