@@ -28,9 +28,19 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
     from rectdetect_tpu.pipeline.rect import rect_frame, live_rects
+    from rectdetect_tpu.runtime import calibrate as cal
+
+    # the reference autotunes and saves plan.txt when it is missing
+    # (rect.cpp:86-101); here: calibrate capacities on this image
+    ih, iw = img.shape[:2]
+    cfg = cal.load_calibrated_config(ih, iw)
+    from rectdetect_tpu.config import DEFAULT_CONFIG
+    if cfg == DEFAULT_CONFIG:
+        print("No plan")                              # vidrect.cpp:125
+        cfg = cal.calibrate([jnp.asarray(img)])
 
     tan_aov = math.tan(72.0 / 2 / 180.0 * math.pi)   # rect.cpp:84
-    res = rect_frame(jnp.asarray(img), tan_aov)
+    res = rect_frame(jnp.asarray(img), tan_aov, cfg)
     rects = live_rects(res)
 
     common.draw_rects(img, rects, common.RECT_STYLE_STILL)
