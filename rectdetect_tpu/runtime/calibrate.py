@@ -31,35 +31,36 @@ MARGIN = 1.6
 
 
 def _densities(bgr_frames, cfg: PipelineConfig):
+    """Per-stage foreground densities on sample frames: the stringified
+    edge map (strings CCL / labelpl), the boundary strip map (boundary
+    CCL), and the post-size-filter arc pixels + arc count (mkpl)."""
+    import dataclasses as dc
     import jax
     import jax.numpy as jnp
-    from rectdetect_tpu.pipeline.frontend import edge_frontend
-    from rectdetect_tpu.ops import morphology, ccl, regions
+    from rectdetect_tpu.pipeline import rect as prect
+
+    dense_cfg = dc.replace(cfg, sparse_factor=0)
 
     @jax.jit
     def stats(bgr):
-        fe = edge_frontend(bgr, cfg)
-        jn = morphology.simple_junction(fe.edge_bin, positive_only=True)
-        conn = morphology.simple_connect_rect(jn)
-        s = morphology.stringify(conn, 0)
-        s = morphology.stringify(s, 1)
-        lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps)
-        st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
-        weak = ccl.filter_strength(lbl, st, cfg.strength_weak)
-        strong = ccl.filter_strength(weak, st, cfg.strength_strong)
-        dense_r, _ = ccl.relabel_dense(
-            jnp.where(strong > 0, strong, 0))
-        return (jnp.mean((s != 0).astype(jnp.float32)),
-                jnp.mean((strong > 0).astype(jnp.float32)),
-                jnp.max(dense_r))
+        st = prect.rect_stage_images(bgr, dense_cfg)
+        strings_d = jnp.mean((st["weak_labels"] != 0).astype(jnp.float32))
+        boundary_d = jnp.mean((st["boundary"] >= 0).astype(jnp.float32))
+        arcs_d = jnp.mean((st["lsid"] > 0).astype(jnp.float32))
+        n_arcs = jnp.max(st["lsid"])
+        edge_d = jnp.mean((st["edge_thin"] > 0).astype(jnp.float32))
+        return edge_d, strings_d, boundary_d, arcs_d, n_arcs
 
-    edge_d, strong_d, arcs = 0.0, 0.0, 0
+    edge_d = strings_d = boundary_d = arcs_d = 0.0
+    arcs = 0
     for f in bgr_frames:
-        e, sd, a = stats(f)
+        e, s, b, a, n = stats(f)
         edge_d = max(edge_d, float(e))
-        strong_d = max(strong_d, float(sd))
-        arcs = max(arcs, int(a))
-    return edge_d, strong_d, arcs
+        strings_d = max(strings_d, float(s))
+        boundary_d = max(boundary_d, float(b))
+        arcs_d = max(arcs_d, float(a))
+        arcs = max(arcs, int(n))
+    return edge_d, strings_d, boundary_d, arcs_d, arcs
 
 
 def _key(device_kind: str, h: int, w: int) -> str:
@@ -72,22 +73,25 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     persist, and return the calibrated config."""
     import jax
     h, w = np.asarray(bgr_frames[0]).shape[:2]
-    edge_d, strong_d, arcs = _densities(bgr_frames, cfg)
+    edge_d, strings_d, boundary_d, arcs_d, arcs = _densities(bgr_frames,
+                                                             cfg)
 
-    def factor_for(density):
-        d = min(max(density * MARGIN, 1e-3), 1.0)
-        return max(1, min(16, int(1.0 / d)))
+    def factor_for(density, cap=64):
+        d = min(max(density * MARGIN, 1e-4), 1.0)
+        return max(1, min(cap, int(1.0 / d)))
 
     new = dataclasses.replace(
         cfg,
-        sparse_factor=factor_for(edge_d),
-        boundary_sparse_factor=factor_for(max(edge_d, strong_d)),
+        sparse_factor=factor_for(max(edge_d, strings_d), cap=16),
+        boundary_sparse_factor=factor_for(boundary_d, cap=32),
+        arc_sparse_factor=factor_for(arcs_d, cap=128),
         ls_capacity=int(min(max(arcs * 4 * MARGIN, 4096), 262144)),
     )
     dev = jax.devices()[0].device_kind
     native.plan_save(plan_path, _key(dev, h, w), {
         "sparse_factor": str(new.sparse_factor),
         "boundary_sparse_factor": str(new.boundary_sparse_factor),
+        "arc_sparse_factor": str(new.arc_sparse_factor),
         "ls_capacity": str(new.ls_capacity),
     })
     return new
@@ -108,5 +112,7 @@ def load_calibrated_config(h: int, w: int,
                                       cfg.sparse_factor)),
         boundary_sparse_factor=int(entries.get(
             "boundary_sparse_factor", cfg.boundary_sparse_factor)),
+        arc_sparse_factor=int(entries.get("arc_sparse_factor",
+                                          cfg.arc_sparse_factor)),
         ls_capacity=int(entries.get("ls_capacity", cfg.ls_capacity)),
     )
