@@ -1,0 +1,261 @@
+"""Pallas TPU kernel: the full 10-iteration edge-limited blur in VMEM.
+
+The XLA formulation of blblur (ops/regions.py) runs 20 dependent passes,
+each materializing padded copies and intermediates in HBM; this kernel
+loads the frame and edge mask once, runs all iterations on-chip, and
+stores once.  Same integer math as regions._blblur_axis (bit-exact;
+tests/test_pallas.py).  Shifts are jnp.roll + boundary masks (Mosaic has
+no general pad).
+
+STATUS: correct (interpret + small TPU shapes) but the single-block
+formulation keeps ~10 live (H,W) i32 temporaries, which exceeds the 16 MB
+VMEM scoped-stack limit at 720p (measured: 35.1 MB requested).  Wiring it
+into the pipeline needs row-block grids with +-50 px halos (10 iterations
+x +-5 px reach) via manual HBM->VMEM halo DMA — the XLA path stays the
+default until then (it is only ~3% of the frame budget)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rectdetect_tpu.core import color
+
+BLBLURSIZE = 4  # oclrect.cl:72
+
+
+def _shift(x, dy: int, dx: int):
+    """x shifted so out[y, x] = in[y+dy, x+dx], zero-filled out of range."""
+    h, w = x.shape
+    out = x
+    if dy:
+        out = jnp.roll(out, -dy, 0)
+    if dx:
+        out = jnp.roll(out, -dx, 1)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ok = (yy + dy >= 0) & (yy + dy < h) & (xx + dx >= 0) & (xx + dx < w)
+    return jnp.where(ok, out, 0)
+
+
+def _axis_pass(cl, ca, cb, edge, horizontal: bool):
+    h, w = edge.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def off(k):
+        return (0, k) if horizontal else (k, 0)
+
+    cross = (1, 0) if horizontal else (0, 1)
+    coord = xx if horizontal else yy
+    limit = w if horizontal else h
+    cross_coord = yy if horizontal else xx
+    cross_limit = h if horizontal else w
+
+    def ed(dy, dx):
+        return _shift(edge, dy, dx) != 0
+
+    chans = (cl, ca, cb)
+    oe = edge != 0
+    wsum = jnp.zeros((h, w), jnp.int32)
+    csum = [jnp.zeros((h, w), jnp.int32) for _ in range(3)]
+
+    alive = jnp.ones((h, w), jnp.bool_)
+    for k in range(0, -BLBLURSIZE - 1, -1):
+        q = coord + k
+        brk = q < 0
+        brk |= (q > 0) & ed(*off(k)) & ~ed(*off(k - 1))
+        brk |= ((q > 0) & (cross_coord < cross_limit - 1) & ~ed(*off(k)) &
+                ed(*off(k - 1)) &
+                ed(off(k)[0] + cross[0], off(k)[1] + cross[1]))
+        alive = alive & ~brk
+        wsum = wsum + alive.astype(jnp.int32)
+        for i in range(3):
+            csum[i] = csum[i] + jnp.where(alive, _shift(chans[i], *off(k)),
+                                          0)
+
+    alive = jnp.ones((h, w), jnp.bool_)
+    for k in range(0, BLBLURSIZE + 1):
+        q = coord + k
+        brk = q > limit - 1
+        brk |= (q < limit - 1) & ~ed(*off(k)) & ed(*off(k + 1))
+        brk |= oe & ~ed(*off(k))
+        alive = alive & ~brk
+        wsum = wsum + alive.astype(jnp.int32)
+        for i in range(3):
+            csum[i] = csum[i] + jnp.where(alive, _shift(chans[i], *off(k)),
+                                          0)
+
+    ws = jnp.maximum(wsum, 1)
+    keep = wsum == 0
+    out = []
+    for i in range(3):
+        avg = csum[i] // ws
+        out.append(jnp.where(keep, chans[i], avg))
+    return out[0], out[1], out[2]
+
+
+def _kernel(packed_ref, edge_ref, out_ref, *, iters: int):
+    packed = packed_ref[:]
+    edge = edge_ref[:]
+    cl = packed & 4095
+    ca = (packed >> 12) & 1023
+    cb = (packed >> 22) & 1023
+
+    def body(_, state):
+        cl, ca, cb = state
+        cl, ca, cb = _axis_pass(cl, ca, cb, edge, True)
+        cl, ca, cb = _axis_pass(cl, ca, cb, edge, False)
+        return cl, ca, cb
+
+    cl, ca, cb = jax.lax.fori_loop(0, iters, body, (cl, ca, cb))
+    cl = jnp.clip(cl, 0, 4095)
+    ca = jnp.clip(ca, 0, 1023)
+    cb = jnp.clip(cb, 0, 1023)
+    out_ref[:] = (cb << 22) | (ca << 12) | cl
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def blblur_pallas(packed, edge, iters: int = 10):
+    """Drop-in replacement for regions.blblur (packed (H,W) int32, edge
+    (H,W) int32 0/1).  Whole-frame single-block kernel; VMEM-bound above
+    ~360p — see blblur_pallas_blocked for the production form."""
+    h, w = packed.shape
+    interpret = jax.default_backend() not in ("tpu",)
+    return pl.pallas_call(
+        functools.partial(_kernel, iters=iters),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(packed.astype(jnp.int32), edge.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Blocked per-pass form.  Key observations:
+#   * a horizontal pass only reads +-(BLBLURSIZE+1) COLUMNS, so blocking
+#     over ROWS needs no halo (and vice versa for vertical passes);
+#   * the single cross-axis read (the diagonal-corner break test,
+#     oclrect.cl:166/186, edge[y+1,x+k] resp. edge[y+k,x+1]) becomes
+#     in-block by passing the globally cross-shifted edge map as a third
+#     input — the zero-padded shift also encodes the y<ih-1 / x<iw-1
+#     bounds guard.
+# Each of the 2*iters passes is one pallas_call with small VMEM blocks;
+# no halo DMA anywhere.
+# ---------------------------------------------------------------------------
+
+def _axis_pass_blocked(cl, ca, cb, edge, edge_cross, coord, horizontal):
+    """One scan-axis pass on a block that spans the full scan axis.
+    coord: global scan-axis coordinate map (same shape as the block)."""
+    h, w = edge.shape
+    limit_len = w if horizontal else h
+
+    def off(k):
+        return (0, k) if horizontal else (k, 0)
+
+    def ed(dy, dx):
+        return _shift(edge, dy, dx) != 0
+
+    def edc(dy, dx):
+        return _shift(edge_cross, dy, dx) != 0
+
+    chans = (cl, ca, cb)
+    oe = edge != 0
+    wsum = jnp.zeros((h, w), jnp.int32)
+    csum = [jnp.zeros((h, w), jnp.int32) for _ in range(3)]
+
+    alive = jnp.ones((h, w), jnp.bool_)
+    for k in range(0, -BLBLURSIZE - 1, -1):
+        q = coord + k
+        brk = q < 0
+        brk |= (q > 0) & ed(*off(k)) & ~ed(*off(k - 1))
+        brk |= (q > 0) & ~ed(*off(k)) & ed(*off(k - 1)) & edc(*off(k))
+        alive = alive & ~brk
+        wsum = wsum + alive.astype(jnp.int32)
+        for i in range(3):
+            csum[i] = csum[i] + jnp.where(alive, _shift(chans[i], *off(k)),
+                                          0)
+
+    alive = jnp.ones((h, w), jnp.bool_)
+    for k in range(0, BLBLURSIZE + 1):
+        q = coord + k
+        brk = q > limit_len - 1
+        brk |= (q < limit_len - 1) & ~ed(*off(k)) & ed(*off(k + 1))
+        brk |= oe & ~ed(*off(k))
+        alive = alive & ~brk
+        wsum = wsum + alive.astype(jnp.int32)
+        for i in range(3):
+            csum[i] = csum[i] + jnp.where(alive, _shift(chans[i], *off(k)),
+                                          0)
+
+    ws = jnp.maximum(wsum, 1)
+    keep = wsum == 0
+    out = []
+    for i in range(3):
+        avg = csum[i] // ws
+        out.append(jnp.where(keep, chans[i], avg))
+    return out[0], out[1], out[2]
+
+
+def _pass_kernel(packed_ref, edge_ref, ecross_ref, out_ref, *,
+                 horizontal: bool):
+    packed = packed_ref[:]
+    edge = edge_ref[:]
+    ecross = ecross_ref[:]
+    h, w = edge.shape
+    coord = jax.lax.broadcasted_iota(jnp.int32, (h, w),
+                                     1 if horizontal else 0)
+    cl = packed & 4095
+    ca = (packed >> 12) & 1023
+    cb = (packed >> 22) & 1023
+    cl, ca, cb = _axis_pass_blocked(cl, ca, cb, edge, ecross, coord,
+                                    horizontal)
+    out_ref[:] = (jnp.clip(cb, 0, 1023) << 22) | \
+        (jnp.clip(ca, 0, 1023) << 12) | jnp.clip(cl, 0, 4095)
+
+
+def _one_pass(packed, edge, ecross, horizontal: bool, block: int,
+              interpret: bool):
+    h, w = packed.shape
+    if horizontal:
+        # row blocks spanning the full width; ~12 live (block, W) i32
+        # temporaries must fit the 16 MB VMEM scoped stack
+        bs = (min(block // 2, h), w)
+        grid = (pl.cdiv(h, bs[0]),)
+        imap = lambda i: (i, 0)
+    else:
+        bs = (h, min(block, w))
+        grid = (pl.cdiv(w, bs[1]),)
+        imap = lambda i: (0, i)
+    spec = pl.BlockSpec(bs, imap, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_pass_kernel, horizontal=horizontal),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(packed, edge, ecross)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "block"))
+def blblur_pallas_blocked(packed, edge, iters: int = 10, block: int = 256):
+    """Production Pallas blblur: 2*iters no-halo blocked passes; bit-exact
+    vs regions.blblur (tests/test_pallas.py)."""
+    interpret = jax.default_backend() not in ("tpu",)
+    p = packed.astype(jnp.int32)
+    e = edge.astype(jnp.int32)
+    h, w = e.shape
+    # cross-shifted edge maps, zero beyond the frame (encodes the
+    # y<ih-1 / x<iw-1 guards of oclrect.cl:166/186)
+    e_down = jnp.zeros_like(e).at[:h - 1, :].set(e[1:, :])
+    e_right = jnp.zeros_like(e).at[:, :w - 1].set(e[:, 1:])
+    for _ in range(iters):
+        p = _one_pass(p, e, e_down, True, block, interpret)
+        p = _one_pass(p, e, e_right, False, block, interpret)
+    return p
