@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rectdetect_tpu.core import color
 
 BLBLURSIZE = 4  # oclrect.cl:72
 

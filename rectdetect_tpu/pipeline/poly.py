@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from rectdetect_tpu.config import PipelineConfig, DEFAULT_CONFIG
-from rectdetect_tpu.ops import ccl, morphology, polyline
+from rectdetect_tpu.ops import ccl, polyline
 from rectdetect_tpu.pipeline.frontend import edge_frontend
 
 
