@@ -67,6 +67,29 @@ def edge_frontend_tiled(bgr_tile, halo: int = 16,
     return et, (et > 0).astype(jnp.int32)
 
 
+def rect_step_tiled(frame_tile, tan_aov, halo: int = 16,
+                    cfg: PipelineConfig = DEFAULT_CONFIG,
+                    axis_name: str = "tile"):
+    """Full rect detection for one frame whose width is sharded over the
+    tile axis (call inside shard_map).
+
+    The stencil-heavy front-end runs tiled with ICI halo exchange; the
+    front-end products are all_gather'd and the label/geometry tail runs
+    replicated per tile (it is small relative to the stencils, and its
+    pointer-chasing does not shard cleanly — cross-tile CCL for the tail
+    is available separately as ccl_tiled).  Returns a full-frame
+    RectResult, identical on every tile rank."""
+    from jax import lax as _lax
+    from rectdetect_tpu.pipeline.rect import rect_tail
+
+    et, eb = edge_frontend_tiled(frame_tile, halo, cfg, axis_name)
+    packed_local = color.pack_lab(color.bgr_to_labf(frame_tile))
+    packed = _lax.all_gather(packed_local, axis_name, axis=1, tiled=True)
+    etf = _lax.all_gather(et, axis_name, axis=1, tiled=True)
+    ebf = _lax.all_gather(eb, axis_name, axis=1, tiled=True)
+    return rect_tail(packed, etf, ebf, tan_aov, cfg)
+
+
 def ccl_tiled(pix_tile, bgc: int, n_seam: int,
               cfg: PipelineConfig = DEFAULT_CONFIG,
               axis_name: str = "tile"):

@@ -79,3 +79,34 @@ def test_stream_sharded_rect_consistent():
                                np.asarray(single.value), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(res.valid[3]),
                                   np.asarray(single.valid))
+
+
+def test_rect_step_tiled_matches_single_chip():
+    from rectdetect_tpu.config import PipelineConfig
+    from rectdetect_tpu.pipeline.rect import rect_frame
+    cfg = PipelineConfig(ls_capacity=512, max_groups=16, max_group_segs=16,
+                         number_doublings=10)
+    tan = math.tan(math.radians(72) / 2)
+    bgr = synth_scene(h=40, w=32 * 4, seed=5)
+    ref = rect_frame(jnp.asarray(bgr), tan, cfg)
+
+    from rectdetect_tpu.dist import tile as dtile
+    m = dmesh.make_mesh(1, 4)
+
+    @functools.partial(shard_map, mesh=m,
+                       in_specs=P(None, "tile", None), out_specs=P(),
+                       check_vma=False)
+    def run(tile_frame):
+        return dtile.rect_step_tiled(tile_frame, tan, halo=12, cfg=cfg)
+
+    got = jax.jit(run)(jnp.asarray(bgr))
+    # tile-seam f32 reassociation can flip borderline NMS pixels, which can
+    # perturb borderline hypotheses; accepted detections must agree on
+    # geometry for matching groups
+    rv = np.asarray(ref.valid)
+    gv = np.asarray(got.valid)
+    agree = rv == gv
+    assert agree.mean() > 0.97
+    both = rv & gv
+    np.testing.assert_allclose(np.asarray(got.c2)[both],
+                               np.asarray(ref.c2)[both], atol=2.0)
