@@ -5,6 +5,8 @@ Usage: python -m rectdetect_tpu.apps.vidrect [device] [input] [output] [AOV]
   input:  video file, or cam:<id>,<w>,<h>, default camera 0
   output: file path, or `-` for a window
   AOV:    horizontal angle of view in degrees (default 90; demo uses 72)
+  --batch=N: TPU throughput mode — process N frames per dispatch
+  (rect_frames); best for file transcoding, adds N frames of latency.
 """
 
 from __future__ import annotations
@@ -17,6 +19,9 @@ from rectdetect_tpu.apps import common
 
 def main(argv=None) -> int:
     argv = sys.argv if argv is None else argv
+    batch = 0
+    argv = [a for a in argv if not (a.startswith("--batch=") and
+                                    (batch := int(a.split("=")[1])) >= 0)]
     if len(argv) < 2:
         sys.stderr.write(
             f"Usage : {argv[0]} [device number] [input video file] "
@@ -62,6 +67,10 @@ def main(argv=None) -> int:
     frames = [None, None]
     n = 0
 
+    if batch > 1:
+        return _run_batched(pump, writer, winname, tan_aov, cfg, batch,
+                            meter)
+
     frame = pump.next(timeout_ms=5000)
     if frame is None:
         sys.exit("no frames")
@@ -92,6 +101,50 @@ def main(argv=None) -> int:
             if key in (27, 13):
                 break
 
+    if writer is not None:
+        writer.release()
+    pump.close()
+    cv2.destroyAllWindows()
+    return 0
+
+
+def _run_batched(pump, writer, winname, tan_aov, cfg, batch, meter):
+    """Throughput mode: dispatch `batch` frames at once via rect_frames."""
+    import cv2
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.pipeline.rect import rect_frames, RectResult
+
+    while True:
+        group = []
+        while len(group) < batch:
+            f = pump.next(timeout_ms=5000)
+            if f is None:
+                break
+            group.append(f)
+        if not group:
+            break
+        # pad the tail group to the compiled batch shape
+        padded = group + [group[-1]] * (batch - len(group))
+        res = rect_frames(jnp.asarray(np.stack(padded)), tan_aov, cfg)
+        c2 = np.asarray(res.c2)
+        stat = np.asarray(res.status)
+        ok = np.asarray(res.valid)
+        for bi, frame in enumerate(group):
+            rects = [{"c2": c2[bi, i], "status": int(stat[bi, i])}
+                     for i in range(c2.shape[1]) if ok[bi, i]]
+            common.draw_rects(frame, rects, common.RECT_STYLE_VIDEO)
+            if writer is not None:
+                writer.write(frame)
+                fps = meter.tick()
+                if fps is not None:
+                    print(f"{fps:.3g} fps")
+            else:
+                cv2.imshow(winname, frame)
+                if (cv2.waitKey(1) & 0xFF) in (27, 13):
+                    return 0
+        if len(group) < batch:
+            break
     if writer is not None:
         writer.release()
     pump.close()
