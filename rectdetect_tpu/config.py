@@ -62,6 +62,12 @@ class PipelineConfig:
     # default; clean synthetic scenes can use /8+.
     sparse_factor: int = 3
     boundary_sparse_factor: int = 3
+    # Inside polyline_execute the strings have passed removeBranch
+    # (degree <= 2), which caps realistic density well below the raw
+    # stringified map: measured 12% on a 30%-noise frame (the theoretical
+    # 50% needs pixel-perfect alternating diagonal texture; truncation
+    # degrades gracefully and calibration tightens/loosens per scene).
+    strings_sparse_factor: int = 6
     # mkpl/refine run after the arc size filter (> sizeThre px), which
     # kills nearly all noise arcs: measured 0.32% density on a 30%-noise
     # 720p frame.  /48 (~2%) keeps a >5x margin at a ~20x cost saving.

@@ -415,7 +415,7 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
     subdivision -> refinement.  lsid is the per-pixel segment-id map.
     """
     h, w = edge_binary.shape
-    sp = (max(4096, h * w // cfg.sparse_factor)
+    sp = (max(4096, h * w // cfg.strings_sparse_factor)
           if cfg.sparse_factor else None)
 
     jn = morphology.simple_junction(edge_binary)

@@ -83,6 +83,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     new = dataclasses.replace(
         cfg,
         sparse_factor=factor_for(max(edge_d, strings_d), cap=16),
+        strings_sparse_factor=factor_for(strings_d, cap=24),
         boundary_sparse_factor=factor_for(boundary_d, cap=32),
         arc_sparse_factor=factor_for(arcs_d, cap=128),
         ls_capacity=int(min(max(arcs * 4 * MARGIN, 4096), 262144)),
@@ -90,6 +91,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     dev = jax.devices()[0].device_kind
     native.plan_save(plan_path, _key(dev, h, w), {
         "sparse_factor": str(new.sparse_factor),
+        "strings_sparse_factor": str(new.strings_sparse_factor),
         "boundary_sparse_factor": str(new.boundary_sparse_factor),
         "arc_sparse_factor": str(new.arc_sparse_factor),
         "ls_capacity": str(new.ls_capacity),
@@ -110,6 +112,8 @@ def load_calibrated_config(h: int, w: int,
         cfg,
         sparse_factor=int(entries.get("sparse_factor",
                                       cfg.sparse_factor)),
+        strings_sparse_factor=int(entries.get(
+            "strings_sparse_factor", cfg.strings_sparse_factor)),
         boundary_sparse_factor=int(entries.get(
             "boundary_sparse_factor", cfg.boundary_sparse_factor)),
         arc_sparse_factor=int(entries.get("arc_sparse_factor",
