@@ -43,6 +43,19 @@ def main(argv=None) -> int:
     res = rect_frame(jnp.asarray(img), tan_aov, cfg)
     rects = live_rects(res)
 
+    # RECTDETECT_DUMP=<dir>: render every intermediate stage to PNG (the
+    # reference's commented-out visualization hooks, oclrect.c:255-363)
+    import os
+    if os.environ.get("RECTDETECT_DUMP"):
+        from rectdetect_tpu.pipeline.rect import rect_stage_images, \
+            STAGE_KINDS
+        from rectdetect_tpu.utils.debug import StageDumper
+        dumper = StageDumper()
+        for name, arr in rect_stage_images(jnp.asarray(img), cfg).items():
+            dumper.add(name, STAGE_KINDS[name], arr)
+        for path in dumper.flush():
+            print(f"  dump: {path}")
+
     common.draw_rects(img, rects, common.RECT_STYLE_STILL)
     out = argv[3] if len(argv) >= 4 else "output.jpg"
     common.save_image_bgr(out, img)
