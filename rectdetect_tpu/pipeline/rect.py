@@ -56,7 +56,11 @@ def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
     cap = arena.cap
     nentry = iw * ih * 4 // 5
 
-    table = reduce_ls.pair_bbox_table(boundary, lsid, nentry)
+    # lsid>0 pixels are post-size-filter arc pixels (sparse; see
+    # arc_sparse_factor), so the reduceLS scatters compact accordingly
+    table = reduce_ls.pair_bbox_table(
+        boundary, lsid, nentry,
+        edge_cap=max(4096, iw * ih // cfg.arc_sparse_factor))
     dense, flat2dense, _ = reduce_ls.densify_labels(boundary, bg=-1)
 
     # --- source A: region boundaries (oclrect.c:1064-1171) ---------------
