@@ -19,10 +19,16 @@ _enabled = False
 
 
 def enable_persistent_cache(path: str | None = None) -> str:
-    """Idempotently enable the JAX persistent compilation cache."""
+    """Idempotently enable the JAX persistent compilation cache.
+
+    TPU only: that is where compiles take minutes; CPU compiles are fast
+    and serializing some large CPU executables has segfaulted
+    (jax 0.8 put_executable_and_time)."""
     global _enabled
     import jax
     p = path or os.environ.get("RECTDETECT_CACHE", _DEFAULT)
+    if jax.default_backend() not in ("tpu",):
+        return p
     pathlib.Path(p).mkdir(parents=True, exist_ok=True)
     if not _enabled:
         jax.config.update("jax_compilation_cache_dir", p)

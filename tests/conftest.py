@@ -18,6 +18,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Tests that exercise the apps enable the persistent compilation cache;
+# point it at a throwaway dir so test runs neither pollute nor contend
+# with the real per-user cache (concurrent writers have produced
+# serialization segfaults).
+import tempfile  # noqa: E402
+
+os.environ.setdefault("RECTDETECT_CACHE",
+                      tempfile.mkdtemp(prefix="rectdetect_test_cache_"))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
