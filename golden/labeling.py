@@ -140,3 +140,26 @@ def remove_branch(img):
             count = sum(1 for i in range(8) if img[y + RY[i], x + RX[i]] != 0)
             out[y, x] = 1 if count <= 2 else 0
     return out
+
+
+def simple_connect_rect(jn):
+    """The oclrect.cl:97-121 bridging variant (loop-level oracle)."""
+    ih, iw = jn.shape
+    out = np.zeros((ih, iw), np.int64)
+    for y in range(2, ih - 2):
+        for x in range(2, iw - 2):
+            if jn[y, x] != 0:
+                out[y, x] = 1
+                continue
+            n = lambda dy, dx: jn[y + dy, x + dx]
+            if n(0, -1) == 2 and n(0, 1) != 0: out[y, x] = 1
+            if n(0, -1) != 0 and n(0, 1) == 2: out[y, x] = 1
+            if n(-1, 0) == 2 and n(1, 0) != 0: out[y, x] = 1
+            if n(-1, 0) != 0 and n(1, 0) == 2: out[y, x] = 1
+            if n(-1, -1) == 2 and n(1, 1) == 2: out[y, x] = 1
+            if n(-1, 1) == 2 and n(1, -1) == 2: out[y, x] = 1
+            if n(0, 1) == 2 and n(1, -1) == 2: out[y, x] = 1
+            if n(0, -1) == 2 and n(1, 1) == 2: out[y, x] = 1
+            if n(-1, 1) == 2 and n(1, 0) == 2: out[y, x] = 1
+            if n(-1, -1) == 2 and n(1, 0) == 2: out[y, x] = 1
+    return out

@@ -178,3 +178,15 @@ def test_label_merge_side_asymmetry_adversarial():
         jnp.asarray(pix.astype(np.int32)), jnp.asarray(mask.astype(np.int32)),
         jnp.asarray(elab.astype(np.int32))))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_simple_connect_rect_matches_golden():
+    from golden import labeling as glab
+    from rectdetect_tpu.ops import morphology
+    r = np.random.default_rng(5)
+    binary = (r.random((40, 56)) < 0.25).astype(np.int64)
+    jn = glab.simple_junction(binary, positive_only=True)
+    gold = glab.simple_connect_rect(jn)
+    got = np.asarray(morphology.simple_connect_rect(
+        jnp.asarray(jn.astype(np.int32))))
+    np.testing.assert_array_equal(got, gold)
