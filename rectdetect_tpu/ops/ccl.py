@@ -343,6 +343,32 @@ def relabel_dense(label):
     return out.reshape(h, w).astype(jnp.int32), rank[-1]
 
 
+def label_components_adaptive(pix, bgc: int, n_passes: int, n_jumps: int,
+                              small_cap: int, big_cap: int,
+                              scan_boost: bool = True):
+    """label_components with a runtime capacity switch.
+
+    Both branches compute the exact same labels; the foreground count
+    picks the cheap small-slot-list branch when it fits (gather/scatter
+    cost scales with the slot capacity, not the actual foreground).  The
+    boundary map, for instance, is ~1-5% dense on typical frames but can
+    approach 30% adversarially — the static worst-case cap would pay the
+    adversarial price on every frame."""
+    import jax
+
+    fg_count = jnp.sum((pix != bgc).astype(jnp.int32))
+
+    def small(p):
+        return label_components(p, bgc, n_passes, n_jumps,
+                                sparse_cap=small_cap, scan_boost=scan_boost)
+
+    def big(p):
+        return label_components(p, bgc, n_passes, n_jumps,
+                                sparse_cap=big_cap, scan_boost=scan_boost)
+
+    return jax.lax.cond(fg_count <= small_cap, small, big, pix)
+
+
 def label_components_converged(pix, bgc: int):
     """Run CCL to the exact fixpoint (for tests / robustness checks).
 

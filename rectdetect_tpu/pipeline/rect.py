@@ -159,8 +159,13 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
         conn = morphology.simple_connect_rect(jn)
         s = morphology.stringify(conn, 0)
         s = morphology.stringify(s, 1)
-        lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps,
-                                   sparse_cap=sp, scan_boost=sp is not None)
+        if sp is not None:
+            lbl = ccl.label_components_adaptive(
+                s, 0, cfg.ccl_passes, cfg.ccl_jumps,
+                small_cap=max(4096, ih * iw // 8), big_cap=sp)
+        else:
+            lbl = ccl.label_components(s, 0, cfg.ccl_passes,
+                                       cfg.ccl_jumps)
         st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale)
         weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
         weak_bin = (weak_lbl > 0).astype(jnp.int32)
@@ -187,11 +192,17 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
         sizes = regions.label_sizes(seg)
         seg = regions.despeckle2(seg, sizes, cfg.despeckle2_thre)
 
-    # boundary labeling (oclrect.c:340-342)
+    # boundary labeling (oclrect.c:340-342).  Boundary strips are ~1-5%
+    # dense on typical frames but worst-case ~30%; pick the slot capacity
+    # at runtime (both branches exact).
     bmark = regions.mark_boundary(seg)
-    boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
-                                    cfg.ccl_jumps, sparse_cap=spb,
-                                    scan_boost=spb is not None)
+    if spb is not None:
+        boundary = ccl.label_components_adaptive(
+            bmark, -1, cfg.ccl_passes, cfg.ccl_jumps,
+            small_cap=max(4096, ih * iw // 16), big_cap=spb)
+    else:
+        boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
+                                        cfg.ccl_jumps)
 
     # polylines on strong edges (oclrect.c:361)
     with jax.named_scope("polyline"):

@@ -150,3 +150,20 @@ def test_convergence_margin_adversarial():
             jnp.asarray(img), 0, cfg.ccl_passes, cfg.ccl_jumps,
             sparse_cap=img.size, scan_boost=True))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_label_components_adaptive_both_branches():
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.ops.ccl import (label_components,
+                                        label_components_adaptive)
+    r = np.random.default_rng(9)
+    for density in (0.02, 0.4):          # small branch / big branch
+        img = (r.random((48, 64)) < density).astype(np.int32)
+        ref = np.asarray(label_components(jnp.asarray(img), 0, 8, 2,
+                                          scan_boost=True,
+                                          sparse_cap=img.size))
+        got = np.asarray(label_components_adaptive(
+            jnp.asarray(img), 0, 8, 2, small_cap=256,
+            big_cap=img.size))
+        np.testing.assert_array_equal(got, ref)
