@@ -120,3 +120,26 @@ def remove_branch(img):
     cnt = _neighbor_count(nz)
     out = jnp.where(nz & (cnt <= 2), 1, 0)
     return jnp.where(_interior_mask(h, w, 1), out, 0).astype(jnp.int32)
+
+
+def strings_chain(edge_bin, variant: str):
+    """The full edge->strings morphology prefix as one op.
+
+    variant "rect": junction -> connect_rect -> stringify x2
+    (oclrect.c:265-272); "poly_branch": junction -> connect_poly ->
+    stringify x2 -> removeBranch (oclpolyline.c stages 1-4).
+
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/pallas_morph.py) — the 4-5 stencil chain runs per block in VMEM
+    with intermediates never touching HBM; bit-exact vs this composition.
+    """
+    import jax
+    if jax.default_backend() == "tpu":
+        from rectdetect_tpu.ops.pallas_morph import morph_chain_pallas
+        return morph_chain_pallas(edge_bin, variant)
+    if variant == "rect":
+        s = stringify(simple_connect_rect(
+            simple_junction(edge_bin, positive_only=True)), 0)
+        return stringify(s, 1)
+    s = stringify(simple_connect_poly(simple_junction(edge_bin)), 0)
+    return remove_branch(stringify(s, 1))

@@ -46,6 +46,18 @@ from rectdetect_tpu.ops.shifts import NEIGH8
 _BLOCK_ELEMS = 96 * 1280
 
 
+def _round_cap(bh: int, w: int) -> int:
+    """Hard cap on in-block flood rounds.  Each round completes at least
+    one full straight segment of any remaining geodesic (scans) plus one
+    diagonal step (neighbor min), so real images converge in < 20 rounds
+    and even adversarial serpentines in O(perimeter).  The cap exists to
+    bound device occupancy on a shared chip — a kernel stuck for hours
+    wedges the whole relay — not to define semantics; convergence is
+    checked, the cap is 100x beyond anything observed.
+    """
+    return 4 * (bh + w)
+
+
 def _pick_bh(h: int, w: int) -> int:
     bh = max(8, min(h, (_BLOCK_ELEMS // max(w, 1)) // 8 * 8))
     return bh
@@ -140,9 +152,11 @@ def _ccl_block_kernel(pix_ref, seed_ref, out_ref, *, bgc: int, mode: str,
         g = seg_scan(g, conn_u, 0, True, bh)
         return g
 
+    cap = jnp.int32(_round_cap(bh, w))
+
     def cond(c):
         _, changed, it = c
-        return changed & (it < jnp.int32(h) * jnp.int32(w))
+        return changed & (it < cap)
 
     def body(c):
         lbl, _, it = c
@@ -361,9 +375,11 @@ def _links_block_kernel(lh_ref, lv_ref, seed_ref, out_ref, *,
         g = seg_scan(g, conn_u, 0, True, bh)
         return g
 
+    cap = jnp.int32(_round_cap(bh, w))
+
     def cond(c):
         _, changed, it = c
-        return changed & (it < jnp.int32(h) * jnp.int32(w))
+        return changed & (it < cap)
 
     def body(c):
         lbl, _, it = c

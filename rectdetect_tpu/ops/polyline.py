@@ -418,11 +418,7 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
     sp = (max(4096, h * w // cfg.strings_sparse_factor)
           if cfg.sparse_factor else None)
 
-    jn = morphology.simple_junction(edge_binary)
-    conn = morphology.simple_connect_poly(jn)
-    s = morphology.stringify(conn, 0)
-    s = morphology.stringify(s, 1)
-    strings = morphology.remove_branch(s)
+    strings = morphology.strings_chain(edge_binary, "poly_branch")
 
     label = label_components(strings, 0, cfg.ccl_passes, cfg.ccl_jumps,
                              sparse_cap=sp, scan_boost=sp is not None)

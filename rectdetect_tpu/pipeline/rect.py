@@ -155,10 +155,7 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     # reference accidentally marks border pixels of isolated zero-islands
     # as "edges" for the downstream blur.
     with jax.named_scope("edge_labeling"):
-        jn = morphology.simple_junction(edge_bin, positive_only=True)
-        conn = morphology.simple_connect_rect(jn)
-        s = morphology.stringify(conn, 0)
-        s = morphology.stringify(s, 1)
+        s = morphology.strings_chain(edge_bin, "rect")
         if sp is not None:
             lbl = ccl.label_components_adaptive(
                 s, 0, cfg.ccl_passes, cfg.ccl_jumps,

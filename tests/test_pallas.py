@@ -34,3 +34,38 @@ def test_pallas_blblur_blocked_bit_exact():
     a = np.asarray(regions.blblur(p, e, 10))
     b = np.asarray(blblur_pallas_blocked(p, e, 10, block=16))
     np.testing.assert_array_equal(a, b)
+
+
+def _rand_edge(h, w, seed=0, p=0.3):
+    r = np.random.default_rng(seed)
+    return (r.random((h, w)) < p).astype(np.int32)
+
+
+def test_pallas_morph_rect_variant():
+    from rectdetect_tpu.ops import morphology as M
+    from rectdetect_tpu.ops.pallas_morph import morph_chain_pallas
+    eb = jnp.asarray(_rand_edge(48, 64, seed=1))
+    want = M.stringify(M.stringify(M.simple_connect_rect(
+        M.simple_junction(eb, positive_only=True)), 0), 1)
+    got = morph_chain_pallas(eb, "rect", bh=16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_morph_poly_branch_variant():
+    from rectdetect_tpu.ops import morphology as M
+    from rectdetect_tpu.ops.pallas_morph import morph_chain_pallas
+    eb = jnp.asarray(_rand_edge(40, 56, seed=2, p=0.35))
+    want = M.remove_branch(M.stringify(M.stringify(M.simple_connect_poly(
+        M.simple_junction(eb)), 0), 1))
+    got = morph_chain_pallas(eb, "poly_branch", bh=16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_morph_odd_size_single_block():
+    from rectdetect_tpu.ops import morphology as M
+    from rectdetect_tpu.ops.pallas_morph import morph_chain_pallas
+    eb = jnp.asarray(_rand_edge(37, 53, seed=3))
+    want = M.stringify(M.stringify(M.simple_connect_rect(
+        M.simple_junction(eb, positive_only=True)), 0), 1)
+    got = morph_chain_pallas(eb, "rect")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
