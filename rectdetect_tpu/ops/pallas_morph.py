@@ -126,6 +126,107 @@ def _morph_kernel(top_ref, bot_ref, out_ref, *, h: int, w: int, bh: int,
     out_ref[:] = s[q:q + bh].astype(jnp.int32)
 
 
+def _quant_despeckle_kernel(ptop_ref, pbot_ref, etop_ref, ebot_ref,
+                            out_ref, *, h: int, w: int, bh: int,
+                            n0: int, n1: int, n2: int):
+    """quantize (oclrect.cl:207-216) + despeckle (oclrect.cl:218-244) on a
+    haloed block: on-edge pixels take the nearest-color off-edge 3x3
+    neighbor of the quantized image."""
+    blk = pl.program_id(0)
+    q = _HALO
+    eh = bh + 2 * q
+    packed = jnp.concatenate([ptop_ref[:], pbot_ref[:][bh - 2 * q:]], 0)
+    emag = jnp.concatenate([etop_ref[:], ebot_ref[:][bh - 2 * q:]], 0)
+
+    ly = jax.lax.broadcasted_iota(jnp.int32, (eh, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (eh, w), 1)
+    yy = ly + blk * bh - q
+    inframe = (yy >= 0) & (yy < h)
+    packed = jnp.where(inframe, packed, 0)
+
+    # quantize: unpack to lattice-center floats, snap to n levels, repack
+    cl = packed & 0xFFF
+    ca = (packed >> 12) & 0x3FF
+    cb = (packed >> 22) & 0x3FF
+    lf = (cl.astype(jnp.float32) + 0.5) * (1.0 / 4096.0)
+    af = (ca.astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+    bf = (cb.astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+    qlf = jnp.floor(lf * n0 + 0.5) * (1.0 / n0)
+    qaf = jnp.floor(af * n1 + 0.5) * (1.0 / n1)
+    qbf = jnp.floor(bf * n2 + 0.5) * (1.0 / n2)
+    pq = ((jnp.clip(jnp.floor(qbf * 1024.0), 0, 1023).astype(jnp.int32)
+           << 22) |
+          (jnp.clip(jnp.floor(qaf * 1024.0), 0, 1023).astype(jnp.int32)
+           << 12) |
+          jnp.clip(jnp.floor(qlf * 4096.0), 0, 4095).astype(jnp.int32))
+
+    cl = pq & 0xFFF
+    ca = (pq >> 12) & 0x3FF
+    cb = (pq >> 22) & 0x3FF
+    lf = (cl.astype(jnp.float32) + 0.5) * (1.0 / 4096.0)
+    af = (ca.astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+    bf = (cb.astype(jnp.float32) + 0.5) * (1.0 / 1024.0)
+
+    on_edge = (emag >= 1e-6).astype(jnp.int32)
+
+    def sh(arr, dy: int, dx: int, fill):
+        v = arr
+        if dy:
+            v = jnp.roll(v, -dy, 0)
+        if dx:
+            v = jnp.roll(v, -dx, 1)
+        ok = (yy + dy >= 0) & (yy + dy < h)
+        if dx:
+            ok &= (xx + dx >= 0) & (xx + dx < w)
+        return jnp.where(ok, v, fill)
+
+    best_d = jnp.full((eh, w), 1e10, jnp.float32)
+    best = pq
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            cand_edge = sh(on_edge, dy, dx, 1)
+            d = jnp.sqrt((sh(lf, dy, dx, 0.0) - lf) ** 2 +
+                         (sh(af, dy, dx, 0.0) - af) ** 2 +
+                         (sh(bf, dy, dx, 0.0) - bf) ** 2)
+            take = (cand_edge == 0) & (d < best_d)
+            best_d = jnp.where(take, d, best_d)
+            best = jnp.where(take, sh(pq, dy, dx, 0), best)
+    out = jnp.where(on_edge != 0, best, pq)
+    out_ref[:] = out[q:q + bh]
+
+
+@functools.partial(jax.jit, static_argnames=("n0", "n1", "n2", "bh"))
+def quant_despeckle_pallas(packed, edge_mag, n0: int = 24, n1: int = 24,
+                           n2: int = 24, bh: int = 64):
+    """Fused quantize_packed + despeckle, bit-exact vs the composition
+    (same sqrt distance domain, same neighbor iteration order)."""
+    h, w = packed.shape
+    p = packed.astype(jnp.int32)
+    e = edge_mag.astype(jnp.float32)
+    q = _HALO
+    # the two rolled copies only cover the (bh + 2q) window when bh >= 2q
+    bh = max(2 * q, min(bh, max(8, (h + 7) // 8 * 8)))
+    nb = pl.cdiv(h, bh)
+    h2 = nb * bh
+    if h2 != h:
+        p = jnp.pad(p, ((0, h2 - h), (0, 0)))
+        e = jnp.pad(e, ((0, h2 - h), (0, 0)))
+    args = [jnp.roll(p, q, 0), jnp.roll(p, -q, 0),
+            jnp.roll(e, q, 0), jnp.roll(e, -q, 0)]
+    ispec = pl.BlockSpec((bh, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() not in ("tpu",)
+    out = pl.pallas_call(
+        functools.partial(_quant_despeckle_kernel, h=h, w=w, bh=bh,
+                          n0=n0, n1=n1, n2=n2),
+        out_shape=jax.ShapeDtypeStruct((h2, w), jnp.int32),
+        grid=(nb,),
+        in_specs=[ispec] * 4,
+        out_specs=ispec,
+        interpret=interpret,
+    )(*args)
+    return out[:h]
+
+
 @functools.partial(jax.jit, static_argnames=("variant", "bh"))
 def morph_chain_pallas(edge_bin, variant: str = "rect",
                        bh: int = _BLOCK_ROWS):
@@ -139,7 +240,8 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
     h, w = edge_bin.shape
     x = edge_bin.astype(jnp.int32)
     q = _HALO
-    bh = min(bh, max(8, (h + 7) // 8 * 8))
+    # bh >= 2q so the two rolled copies cover the (bh + 2q) window
+    bh = max(2 * q, min(bh, max(8, (h + 7) // 8 * 8)))
     nb = pl.cdiv(h, bh)
     # pad to whole blocks BEFORE rolling: a trailing partial block would
     # otherwise read undefined out-of-bounds rows of the rolled inputs

@@ -160,6 +160,18 @@ def despeckle(packed, edge_mag):
     return jnp.where(on_edge, best, packed)
 
 
+def quantize_despeckle(packed, edge_mag, n0: int = 24, n1: int = 24,
+                       n2: int = 24):
+    """quantize_packed + despeckle as one op (oclrect.c:300-303).
+
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/pallas_morph.py), bit-exact vs the composition."""
+    if jax.default_backend() == "tpu":
+        from rectdetect_tpu.ops.pallas_morph import quant_despeckle_pallas
+        return quant_despeckle_pallas(packed, edge_mag, n0, n1, n2)
+    return despeckle(quantize_packed(packed, n0, n1, n2), edge_mag)
+
+
 def _disk_offsets(rmax, lo_sq, hi_sq):
     ker = np.zeros((2 * rmax + 1, 2 * rmax + 1), np.float32)
     for dy in range(-rmax, rmax + 1):

@@ -170,10 +170,10 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     # edge-limited blur + quantize + despeckle (oclrect.c:286-303)
     with jax.named_scope("region_smoothing"):
         blurred = regions.blblur(packed0, weak_bin, cfg.blblur_iters)
-        quant = regions.quantize_packed(blurred, cfg.quantize_levels,
-                                        cfg.quantize_levels,
-                                        cfg.quantize_levels)
-        despeck = regions.despeckle(quant, edge_thin)
+        despeck = regions.quantize_despeckle(blurred, edge_thin,
+                                             cfg.quantize_levels,
+                                             cfg.quantize_levels,
+                                             cfg.quantize_levels)
 
     # strong edges (oclrect.c:307-312)
     strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)

@@ -69,3 +69,25 @@ def test_pallas_morph_odd_size_single_block():
         M.simple_junction(eb, positive_only=True)), 0), 1)
     got = morph_chain_pallas(eb, "rect")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_quant_despeckle_bit_exact():
+    from rectdetect_tpu.ops import regions
+    from rectdetect_tpu.ops.pallas_morph import quant_despeckle_pallas
+    packed, edge = make_scene(h=44, w=56)
+    p = jnp.asarray(packed.astype(np.int32))
+    e = jnp.asarray(edge.astype(np.float32)) * 0.37
+    want = regions.despeckle(regions.quantize_packed(p), e)
+    got = quant_despeckle_pallas(p, e, bh=16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_quant_despeckle_odd_size():
+    from rectdetect_tpu.ops import regions
+    from rectdetect_tpu.ops.pallas_morph import quant_despeckle_pallas
+    packed, edge = make_scene(h=37, w=53)
+    p = jnp.asarray(packed.astype(np.int32))
+    e = jnp.asarray(edge.astype(np.float32))
+    want = regions.despeckle(regions.quantize_packed(p), e)
+    got = quant_despeckle_pallas(p, e, bh=16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
