@@ -102,6 +102,62 @@ def main():
 
     arenas = [pl(e) for e in ebs]
 
+    # --- polyline sub-stages (same data flow as polyline_execute) -------
+    from rectdetect_tpu.ops import chain as pchain
+    sp = (max(4096, h * w // cfg.strings_sparse_factor)
+          if cfg.sparse_factor else None)
+    mstr = jax.jit(lambda e: morphology.strings_chain(e, "poly_branch"))
+    t = amortized(mstr, [(e,) for e in ebs], n)
+    print(f"  pl/strings        {t*1000:9.2f} ms", flush=True)
+    strs = [mstr(e) for e in ebs]
+
+    pccl = jax.jit(lambda s: ccl.label_components(
+        s, 0, cfg.ccl_passes, cfg.ccl_jumps, sparse_cap=sp,
+        scan_boost=sp is not None))
+    t = amortized(pccl, [(s,) for s in strs], n)
+    print(f"  pl/ccl            {t*1000:9.2f} ms", flush=True)
+
+    def prep(s):
+        lab = pccl(s)
+        jn2 = morphology.simple_junction(s)
+        ne = pchain.count_ends(jn2, lab)
+        return pchain.break_loops(s, lab, ne)
+    sl = [jax.jit(prep)(s) for s in strs]
+
+    num = jax.jit(lambda lab: pchain.arc_number(
+        lab, cfg.number_doublings, sparse_cap=sp)[0])
+    t = amortized(num, [(x[1],) for x in sl], n)
+    print(f"  pl/arc_number     {t*1000:9.2f} ms", flush=True)
+    nums = [num(x[1]) for x in sl]
+
+    arcsf = jax.jit(lambda nm: ccl.label_arcs(
+        nm, cfg.labelpl_passes, cfg.labelpl_jumps, sparse_cap=sp,
+        scan_boost=sp is not None))
+    t = amortized(arcsf, [(nm,) for nm in nums], n)
+    print(f"  pl/label_arcs     {t*1000:9.2f} ms", flush=True)
+    arcls = [arcsf(nm) for nm in nums]
+
+    filt = jax.jit(lambda a: ccl.relabel_dense(ccl.filter_size(
+        a, ccl.component_sizes(a, ignore=0), cfg.size_thre_rect))[0])
+    t = amortized(filt, [(a,) for a in arcls], n)
+    print(f"  pl/size+relabel   {t*1000:9.2f} ms", flush=True)
+    denses = [filt(a) for a in arcls]
+
+    def mk(dense, nm):
+        comp = None
+        if sp is not None:
+            from rectdetect_tpu.ops.compact import compact_mask
+            sp_arc = max(4096, h * w // cfg.arc_sparse_factor)
+            comp = compact_mask((dense > 0).reshape(-1), sp_arc)
+        ar = polyline.mkpl_init(dense, nm, cap, comp)
+        ar, lsid = polyline.mkpl_subdivide(ar, dense, nm,
+                                           cfg.minerror_rect,
+                                           cfg.mkpl_iters, comp)
+        return ar, lsid
+    mkj = jax.jit(mk)
+    t = amortized(mkj, list(zip(denses, nums)), n)
+    print(f"  pl/mkpl           {t*1000:9.2f} ms", flush=True)
+
     hyp = jax.jit(lambda a, l, b: prect._hypotheses(a, l, b, w, h, cfg))
     t = amortized(hyp, [(a[0], a[1], lb) for a, lb in zip(arenas, labels)],
                   n)
