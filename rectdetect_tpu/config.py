@@ -62,6 +62,18 @@ class PipelineConfig:
     # default; clean synthetic scenes can use /8+.
     sparse_factor: int = 3
     boundary_sparse_factor: int = 3
+    # ---- Pallas CCL round caps (TPU path) -------------------------------
+    # In-VMEM flood rounds per block pass.  The weak-edge instance's labels
+    # feed only the strength filters, so block-local piece labels with a
+    # modest cap give the identical filtered output (the reference makes
+    # the same approximation with MAXPASS=10, oclimgutil.c:229); pieces of
+    # geodesic radius >= cap always clear the 2500 threshold.  The
+    # boundary instance keeps the two-level seam-exact scheme, capped high
+    # enough that real region boundaries always converge (scans close
+    # straight strips per round; only percolated-noise boundaries are cut
+    # off).  0 = uncapped.
+    weak_ccl_round_cap: int = 48
+    boundary_ccl_round_cap: int = 128
     # Inside polyline_execute the strings have passed removeBranch
     # (degree <= 2), which caps realistic density well below the raw
     # stringified map: measured 12% on a 30%-noise frame (the theoretical

@@ -359,7 +359,9 @@ def relabel_dense(label):
 
 def label_components_adaptive(pix, bgc: int, n_passes: int, n_jumps: int,
                               small_cap: int, big_cap: int,
-                              scan_boost: bool = True):
+                              scan_boost: bool = True,
+                              round_cap: int = 0,
+                              pieces_ok: bool = False):
     """label_components with a runtime capacity switch.
 
     Both branches compute the exact same labels; the foreground count
@@ -369,13 +371,22 @@ def label_components_adaptive(pix, bgc: int, n_passes: int, n_jumps: int,
     approach 30% adversarially — the static worst-case cap would pay the
     adversarial price on every frame.
 
-    On TPU the Pallas exact CCL's cost is density-independent (block-local
-    VMEM floods), so no capacity switch is needed at all."""
+    On TPU this dispatches to the Pallas block CCL (ops/pallas_ccl.py),
+    whose cost is density-independent, so no capacity switch is needed.
+    round_cap > 0 bounds its in-VMEM flood rounds (percolated-noise
+    components may come back as label pieces — the reference's own
+    MAXPASS=10 trade, see pallas_ccl.label_blocked); pieces_ok
+    additionally skips the cross-block seam resolution for consumers
+    that only aggregate per label (strength filtering)."""
     import jax
 
     if jax.default_backend() == "tpu":
-        from rectdetect_tpu.ops.pallas_ccl import label_components_exact
-        return label_components_exact(pix, bgc)
+        from rectdetect_tpu.ops.pallas_ccl import (label_components_exact,
+                                                   label_components_pieces)
+        if pieces_ok and round_cap:
+            return label_components_pieces(pix, bgc, round_cap)
+        return label_components_exact(pix, bgc,
+                                      round_cap=round_cap or None)
 
     fg_count = jnp.sum((pix != bgc).astype(jnp.int32))
 

@@ -107,7 +107,15 @@ def thinthres(edge_img, vec):
 
     Keep pixel if am1 <= a0 >= ap1; output is the 5-sample sum (a smoothed
     edge strength along the ridge), else 0.
+
+    On TPU dispatches to the blocked Pallas kernel (ops/pallas_thin.py):
+    the 256 pad/slice stencil reads become in-VMEM lane rolls.
     """
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from rectdetect_tpu.ops.pallas_thin import thinthres_pallas
+        return thinthres_pallas(edge_img, vec)
     am2, am1, a0, ap1, ap2 = _samples(edge_img, vec)
     keep = (am1 <= a0) & (a0 >= ap1)
     return jnp.where(keep, am2 + am1 + a0 + ap1 + ap2, 0.0)
@@ -115,6 +123,11 @@ def thinthres(edge_img, vec):
 
 def thincubic(edge_img, vec, slack: float = 0.99):
     """Slack-variant thinning (thincubic_float_float, oclimgutil.cl:473-491)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from rectdetect_tpu.ops.pallas_thin import thincubic_pallas
+        return thincubic_pallas(edge_img, vec, slack)
     am2, am1, a0, ap1, ap2 = _samples(edge_img, vec)
     keep = ((am2 * slack <= a0) & (am1 * slack <= a0) &
             (a0 >= ap1 * slack) & (a0 >= ap2 * slack))

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from rectdetect_tpu.core import color
 from rectdetect_tpu.ops import blur, gradient, thin
+from rectdetect_tpu.ops.pallas_grad import edge_front_pallas
 from rectdetect_tpu.config import PipelineConfig, DEFAULT_CONFIG
 
 
@@ -33,10 +34,17 @@ def edge_frontend(bgr, cfg: PipelineConfig = DEFAULT_CONFIG) -> EdgeFrontend:
     packed0 = color.pack_lab(lab)
     labb = jnp.stack([blur.gaussian_blur(labq[..., c], cfg.blur_radius)
                       for c in range(3)], axis=-1)
-    vec = gradient.edgevec(labb[..., 0])
-    # edge operates on the re-packed blurred image (oclrect.c:257)
-    labb_q = color.quantize_labf(labb)
-    em = gradient.edge_lab(labb_q)
+    import jax
+
+    if jax.default_backend() == "tpu":
+        # fused Pallas gradient stage (ops/pallas_grad.py): edgevec +
+        # quantize + edge_lab in one VMEM pass
+        em, vec = edge_front_pallas(labb)
+    else:
+        vec = gradient.edgevec(labb[..., 0])
+        # edge operates on the re-packed blurred image (oclrect.c:257)
+        labb_q = color.quantize_labf(labb)
+        em = gradient.edge_lab(labb_q)
     edge_thin = thin.thinthres(em, vec)
     edge_bin = (edge_thin > 0).astype(jnp.int32)
     return EdgeFrontend(packed0, labb, edge_thin, edge_bin)

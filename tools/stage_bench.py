@@ -61,6 +61,34 @@ def main():
     for f_ in fes:
         jax.block_until_ready(f_.edge_thin)
 
+    # --- frontend sub-stages --------------------------------------------
+    col = jax.jit(lambda f: color.pack_lab(color.bgr_to_labf(f)))
+    t = amortized(col, [(f,) for f in frames], n)
+    print(f"  fe/color+pack     {t*1000:9.2f} ms", flush=True)
+
+    labqs = [jax.jit(lambda f: color.quantize_labf(
+        color.bgr_to_labf(f)))(f) for f in frames]
+    blr = jax.jit(lambda q: jnp.stack(
+        [blur.gaussian_blur(q[..., c], cfg.blur_radius) for c in range(3)],
+        axis=-1))
+    t = amortized(blr, [(q,) for q in labqs], n)
+    print(f"  fe/blur x3        {t*1000:9.2f} ms", flush=True)
+    labbs = [blr(q) for q in labqs]
+
+    ev = jax.jit(lambda b: gradient.edgevec(b[..., 0]))
+    t = amortized(ev, [(b,) for b in labbs], n)
+    print(f"  fe/edgevec        {t*1000:9.2f} ms", flush=True)
+    vecs = [ev(b) for b in labbs]
+
+    el = jax.jit(lambda b: gradient.edge_lab(color.quantize_labf(b)))
+    t = amortized(el, [(b,) for b in labbs], n)
+    print(f"  fe/edge_lab       {t*1000:9.2f} ms", flush=True)
+    ems = [el(b) for b in labbs]
+
+    th = jax.jit(thin.thinthres)
+    t = amortized(th, list(zip(ems, vecs)), n)
+    print(f"  fe/thinthres      {t*1000:9.2f} ms", flush=True)
+
     morph = jax.jit(lambda eb: morphology.stringify(
         morphology.simple_connect_rect(
             morphology.simple_junction(eb, positive_only=True)), 0))
@@ -74,6 +102,13 @@ def main():
     strings = [morph(f.edge_bin) for f in fes]
     t = amortized(cclf, [(s,) for s in strings], n)
     print(f"ccl (one instance)  {t*1000:9.2f} ms", flush=True)
+
+    cclw = jax.jit(lambda s: ccl.label_components_adaptive(
+        s, 0, cfg.ccl_passes, cfg.ccl_jumps,
+        small_cap=max(4096, h * w // 8), big_cap=sp or 4096,
+        round_cap=cfg.weak_ccl_round_cap, pieces_ok=True))
+    t = amortized(cclw, [(s,) for s in strings], n)
+    print(f"ccl weak (pieces)   {t*1000:9.2f} ms", flush=True)
 
     labels = [cclf(s) for s in strings]
 
