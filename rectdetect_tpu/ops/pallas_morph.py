@@ -21,6 +21,7 @@ oclpolyline.cl:112-124, removeBranch oclpolyline.cl:126-147.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -262,3 +263,140 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
         interpret=interpret,
     )(top, bot)
     return out[:h]
+
+
+# ---------------------------------------------------------------------------
+# Fused junction + merge mask (mkMergeMask0/1).  The XLA formulation runs
+# the three disk/ring dilations as 1-channel convs — MXU-hostile (measured
+# ~110 ms at 720p); here every structuring-element tap is a VMEM roll.
+# ---------------------------------------------------------------------------
+
+_MM_HALO = 9  # junction stencil (1) + disk radius (8)
+
+
+def _se_runs():
+    """Per-dy contiguous dx runs of the three structuring elements.
+
+    ring: 16 <= d^2 < 36 (mkMergeMask0); d64: d^2 < 64 on jn == 2;
+    d16: d^2 < 16 on jn > 2 (mkMergeMask1)."""
+    def runs(pred, rmax):
+        out = []
+        for dy in range(-rmax, rmax + 1):
+            xs = [dx for dx in range(-rmax, rmax + 1) if pred(dy, dx)]
+            if not xs:
+                continue
+            rs, a = [], None
+            for dx in xs:
+                if a is None:
+                    a = b = dx
+                elif dx == b + 1:
+                    b = dx
+                else:
+                    rs.append((a, b))
+                    a = b = dx
+            rs.append((a, b))
+            out.append((dy, rs))
+        return out
+    ring = runs(lambda dy, dx: 16 <= dy * dy + dx * dx < 36, 5)
+    d64 = runs(lambda dy, dx: dy * dy + dx * dx < 64, 7)
+    d16 = runs(lambda dy, dx: dy * dy + dx * dx < 16, 3)
+    return ring, d64, d16
+
+
+_SE_RING, _SE_D64, _SE_D16 = _se_runs()
+
+
+def _merge_mask_kernel(top_ref, bot_ref, out_ref, *, h: int, w: int,
+                       bh: int, q: int):
+    """strong-label block -> merge mask middle rows.
+
+    Dilations run as log-depth window-OR pyramids along x (each disk row
+    is a contiguous dx run = two pyramid taps) + one y-roll per row —
+    ~160 VPU ops and ~13 live block buffers (a flat 225-tap unroll kept
+    >60 buffers live and blew the 16 MB VMEM scoped stack).  The input is
+    zero-padded in x outside the kernel so taps are bare rolls; jn is
+    zero outside the frame interior by construction, so wrapped rolls
+    never contribute.
+
+    References: simpleJunction oclrect.cl:74-95, mkMergeMask0
+    oclrect.cl:246-258, mkMergeMask1 oclrect.cl:260-287."""
+    blk = pl.program_id(0)
+    eh = bh + 2 * q
+    x = jnp.concatenate([top_ref[:], bot_ref[:][bh - 2 * q:]], axis=0)
+    wp = x.shape[1]
+
+    ly = jax.lax.broadcasted_iota(jnp.int32, (eh, wp), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (eh, wp), 1)
+    yy = ly + blk * bh - q
+    interior1 = ((yy >= 1) & (yy < h - 1) &
+                 (xx >= q + 1) & (xx < q + w - 1))
+
+    def sh(arr, dy: int, dx: int):
+        v = arr
+        if dy:
+            v = jnp.roll(v, -dy, 0)
+        if dx:
+            v = jnp.roll(v, -dx, 1)
+        return v
+
+    nz = (x > 0).astype(jnp.int32)
+    cnt = nz * 0
+    for dy, dx in NEIGH8:
+        cnt = cnt + sh(nz, dy, dx)
+    jn = jnp.where((nz != 0) & (cnt > 0) & interior1, cnt + 1, 0)
+
+    def dilate_runs(src, se):
+        """OR over {(dy, dx runs)} of src taps via the x-window pyramid."""
+        jmax = max(int(math.floor(math.log2(b - a + 1)))
+                   for _, rs in se for a, b in rs)
+        pyr = [src]                     # pyr[j][x] = OR src[x .. x+2^j-1]
+        for j in range(jmax):
+            pyr.append(pyr[-1] | sh(pyr[-1], 0, 1 << j))
+        acc = jnp.zeros(src.shape, src.dtype)
+        for dy, rs in se:
+            row = None
+            for a, b in rs:
+                L = b - a + 1
+                j = int(math.floor(math.log2(L)))
+                r = sh(pyr[j], 0, a) | sh(pyr[j], 0, b - (1 << j) + 1)
+                row = r if row is None else (row | r)
+            acc = acc | sh(row, dy, 0)
+        return acc
+
+    m = dilate_runs((jn != 0).astype(jnp.int32), _SE_RING)
+    clear = dilate_runs((jn == 2).astype(jnp.int32), _SE_D64)
+    clear = clear | dilate_runs((jn > 2).astype(jnp.int32), _SE_D16)
+    out_ref[:] = jnp.where(m != 0, jnp.where(clear != 0, 0, 1),
+                           0)[q:q + bh]
+
+
+def merge_mask_pallas(strong_lbl, bh: int = 64):
+    """strong label map (H, W) int32 -> merge mask (H, W) int32 0/1.
+
+    Fuses morphology.simple_junction(strong_lbl, positive_only=True) and
+    regions.merge_mask; bit-exact vs the composition
+    (tests/test_pallas_morph_mask.py)."""
+    h, w = strong_lbl.shape
+    q = _MM_HALO
+    wp = pl.cdiv(w + 2 * q, 128) * 128
+    x = strong_lbl.astype(jnp.int32)
+    x = jnp.pad(x, ((0, 0), (q, wp - w - q)))
+    bh = max(2 * q + 6, min(bh, max(8, (h + 7) // 8 * 8)))
+    bh = (bh + 7) // 8 * 8
+    nb = pl.cdiv(h, bh)
+    h2 = nb * bh
+    if h2 != h:
+        x = jnp.pad(x, ((0, h2 - h), (0, 0)))
+    top = jnp.roll(x, q, axis=0)
+    bot = jnp.roll(x, -q, axis=0)
+    spec = pl.BlockSpec((bh, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() not in ("tpu",)
+    out = pl.pallas_call(
+        functools.partial(_merge_mask_kernel, h=h, w=w, bh=bh, q=q),
+        out_shape=jax.ShapeDtypeStruct((h2, wp), jnp.int32),
+        grid=(nb,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(top, bot)
+    return out[:h, q:q + w]

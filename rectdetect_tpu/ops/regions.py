@@ -210,6 +210,20 @@ def merge_mask(junction):
     return (m & ~clear).astype(jnp.int32)
 
 
+def junction_merge_mask(strong_lbl):
+    """simple_junction(positive_only) + merge_mask as one op.
+
+    On TPU dispatches to the fused Pallas kernel (ops/pallas_morph.py):
+    the three structuring-element dilations run as VMEM rolls instead of
+    1-channel convs (the conv formulation puts a 128x128 systolic array
+    on single-channel data — measured ~110 ms at 720p vs ~2 ms fused)."""
+    if jax.default_backend() == "tpu":
+        from rectdetect_tpu.ops.pallas_morph import merge_mask_pallas
+        return merge_mask_pallas(strong_lbl)
+    from rectdetect_tpu.ops.morphology import simple_junction
+    return merge_mask(simple_junction(strong_lbl, positive_only=True))
+
+
 def _merge_pairs(packed, mask, edge_label):
     """Symmetric mergeability of horizontally/vertically adjacent pixels
     under labelMergeMain's rules (oclrect.cl:300-334) plus the
@@ -377,7 +391,12 @@ def despeckle2(label, sizes, thre: int = 16):
     sz_at = sizes[jnp.clip(label, 0, n - 1)]
     small = sz_at <= thre
 
+    # sizes[shifted(label)] == shifted(sizes[label]): ONE random gather
+    # for the whole stencil instead of nine 921k-element table gathers
+    # (each of those costs ~an order of magnitude more than a shift —
+    # random scalar HBM access vs a fused VPU pass)
     lp = pad2d(label, 1, "zero", constant=0)
+    sp_ = pad2d(sz_at, 1, "zero", constant=0)
     best_sz = jnp.zeros((h, w), jnp.int32)
     best_lb = label
     for dy in (-1, 0, 1):
@@ -385,7 +404,7 @@ def despeckle2(label, sizes, thre: int = 16):
             inb = ((yy + dy >= 0) & (yy + dy < h) &
                    (xx + dx >= 0) & (xx + dx < w))
             cand = shifted(lp, 1, dy, dx, h, w)
-            s = sizes[jnp.clip(cand, 0, n - 1)]
+            s = shifted(sp_, 1, dy, dx, h, w)
             take = inb & (s > best_sz)
             best_sz = jnp.where(take, s, best_sz)
             best_lb = jnp.where(take, cand, best_lb)

@@ -185,8 +185,7 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
 
     # merge masks + region CCL + cleanup (oclrect.c:314-336)
     with jax.named_scope("region_merge"):
-        jn2 = morphology.simple_junction(strong_lbl, positive_only=True)
-        mask = regions.merge_mask(jn2)
+        mask = regions.junction_merge_mask(strong_lbl)
         seg = regions.label_merge(despeck, mask, strong_lbl,
                                   cfg.labelmerge_passes,
                                   cfg.labelmerge_jumps)

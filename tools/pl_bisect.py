@@ -1,0 +1,121 @@
+"""Prefix-bisect polyline_execute on the live platform (same protocol as
+tools/full_bisect.py).  Input strong-edge binaries come from the real
+pipeline front so densities are authentic.
+
+Usage: python tools/pl_bisect.py [HxW] [N]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def amortized(fn, args_list, n):
+    import jax
+    r = fn(*args_list[0])
+    np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+    t0 = time.perf_counter()
+    for i in range(n):
+        r = fn(*args_list[i % len(args_list)])
+    np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, ".")
+    from rectdetect_tpu.runtime.cache import enable_persistent_cache
+    enable_persistent_cache()
+    from rectdetect_tpu.config import DEFAULT_CONFIG as cfg
+    from rectdetect_tpu.ops import ccl, morphology
+    from rectdetect_tpu.ops import polyline as P
+    from rectdetect_tpu.ops.chain import count_ends, break_loops, arc_number
+    from rectdetect_tpu.pipeline.frontend import edge_frontend
+    from bench import synth_frame
+
+    res = sys.argv[1] if len(sys.argv) > 1 else "720x1280"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    h, w = (int(v) for v in res.split("x"))
+    print(f"platform={jax.devices()[0].platform} {h}x{w} N={n}", flush=True)
+
+    sp = (max(4096, h * w // cfg.strings_sparse_factor)
+          if cfg.sparse_factor else None)
+    spw = max(4096, h * w // cfg.sparse_factor) if cfg.sparse_factor else None
+
+    @jax.jit
+    def front(bgr):
+        fe = edge_frontend(bgr, cfg)
+        s = morphology.strings_chain(fe.edge_bin, "rect")
+        lbl = ccl.label_components_adaptive(
+            s, 0, cfg.ccl_passes, cfg.ccl_jumps,
+            small_cap=max(4096, h * w // 8), big_cap=spw,
+            round_cap=cfg.weak_ccl_round_cap, pieces_ok=True)
+        st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
+        weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
+        strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)
+        return (strong_lbl > 0).astype(jnp.int32)
+
+    frames = [jax.device_put(synth_frame(h, w, seed=s)) for s in range(2)]
+    ebs = [jax.device_put(np.asarray(front(f))) for f in frames]
+    cap = cfg.ls_cap_for(w, h)
+
+    def upto(eb, stop: int):
+        strings = morphology.strings_chain(eb, "poly_branch")
+        if stop == 0:
+            return strings.sum()
+        label = P.label_components(strings, 0, cfg.ccl_passes,
+                                   cfg.ccl_jumps, sparse_cap=sp,
+                                   scan_boost=sp is not None)
+        if stop == 1:
+            return label.sum()
+        jn2 = morphology.simple_junction(strings)
+        nends = count_ends(jn2, label)
+        strings2, label2 = break_loops(strings, label, nends)
+        if stop == 2:
+            return label2.sum()
+        number, _, _ = arc_number(label2, cfg.number_doublings,
+                                  sparse_cap=sp)
+        if stop == 3:
+            return number.sum()
+        arcs = P.label_arcs(number, cfg.labelpl_passes, cfg.labelpl_jumps,
+                            sparse_cap=sp, scan_boost=sp is not None)
+        if stop == 4:
+            return arcs.sum()
+        sizes = P.component_sizes(arcs, ignore=0)
+        filtered = P.filter_size(arcs, sizes, cfg.size_thre_rect)
+        dense, _ = P.relabel_dense(filtered)
+        if stop == 5:
+            return dense.sum()
+        comp = None
+        if sp is not None:
+            from rectdetect_tpu.ops.compact import compact_mask
+            sp_arc = max(4096, h * w // cfg.arc_sparse_factor)
+            comp = compact_mask((dense > 0).reshape(-1), sp_arc)
+        arena = P.mkpl_init(dense, number, cap, comp)
+        if stop == 6:
+            return arena.sx.sum()
+        arena, lsid = P.mkpl_subdivide(arena, dense, number,
+                                       cfg.minerror_rect, cfg.mkpl_iters,
+                                       comp)
+        if stop == 7:
+            return arena.sx.sum() + lsid.sum()
+        arena = P.refine(arena, lsid, comp)
+        return arena.sx.sum() + lsid.sum()
+
+    names = ["strings", "+ccl", "+break_loops", "+arc_number",
+             "+label_arcs", "+size/relabel", "+mkpl_init",
+             "+mkpl_subdivide", "+refine (full)"]
+    prev = 0.0
+    for stop, name in enumerate(names):
+        f = jax.jit(lambda e, s=stop: upto(e, s))
+        t = amortized(f, [(e,) for e in ebs], n) * 1000
+        print(f"{name:18s} {t:9.2f} ms  (+{t - prev:7.2f})", flush=True)
+        prev = t
+
+
+if __name__ == "__main__":
+    main()
