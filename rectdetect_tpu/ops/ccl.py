@@ -59,7 +59,7 @@ def _scan_flood(label_flat, pix, bgc, sent, h, w):
 
 def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
                      compress: bool = True, sparse_cap: int | None = None,
-                     scan_boost: bool = False):
+                     scan_boost: bool = False, comp=None):
     """8-connected CCL over equal pixel values; background bgc -> label -1.
 
     pix: (H, W) int32.  Returns (H, W) int32 labels = min flat index of the
@@ -80,7 +80,7 @@ def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
     """
     if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_ccl import label_components_exact
-        return label_components_exact(pix, bgc)
+        return label_components_exact(pix, bgc, comp=comp)
     h, w = pix.shape
     n = h * w
     sent = n
@@ -198,11 +198,21 @@ def filter_strength(label, strength, thre: int):
     return out.reshape(h, w)
 
 
-def component_sizes(label, num: int | None = None, ignore: int = 0):
-    """Histogram of label occurrences (calcSize, oclpolyline.cl:357-365)."""
+def component_sizes(label, num: int | None = None, ignore: int = 0,
+                    comp=None):
+    """Histogram of label occurrences (calcSize, oclpolyline.cl:357-365).
+
+    comp: optional Compaction covering all non-`ignore` pixels — the
+    scatter then runs over slots instead of the full frame."""
     h, w = label.shape
     n = num if num is not None else h * w
-    lbl = label.reshape(-1)
+    if comp is not None:
+        live = comp.valid()
+        lbl = jnp.where(live, label.reshape(-1)[jnp.clip(comp.idx, 0,
+                                                         h * w - 1)],
+                        ignore)
+    else:
+        lbl = label.reshape(-1)
     ok = lbl != ignore
     tgt = jnp.where(ok & (lbl >= 0) & (lbl < n), lbl, n)
     return jnp.zeros((n + 1,), jnp.int32).at[tgt].add(
@@ -237,7 +247,8 @@ def _scan_flood_arcs(label_flat, number, sent, h, w):
 
 
 def label_arcs(number, n_passes: int = 12, n_jumps: int = 8,
-               sparse_cap: int | None = None, scan_boost: bool = False):
+               sparse_cap: int | None = None, scan_boost: bool = False,
+               comp=None):
     """Group string pixels into arcs of consecutive arc-length numbers.
 
     Mirrors labelpl_preprocess/labelpl_main (oclpolyline.cl:312-355, host
@@ -252,7 +263,7 @@ def label_arcs(number, n_passes: int = 12, n_jumps: int = 8,
     """
     if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_ccl import label_arcs_exact
-        return label_arcs_exact(number)
+        return label_arcs_exact(number, comp=comp)
     h, w = number.shape
     n = h * w
     sent = n
@@ -355,6 +366,36 @@ def relabel_dense(label):
     table = jnp.where(is_root, rank, 0).astype(jnp.int32)
     out = jnp.where(lbl != 0, table[jnp.clip(lbl, 0, n - 1)], 0)
     return out.reshape(h, w).astype(jnp.int32), rank[-1]
+
+
+def filter_relabel_sparse(label, sizes, size_thre: int, comp):
+    """relabel_dense(filter_size(label, sizes, size_thre)) computed in
+    slot space: comp must cover all labeled pixels (labels are a subset
+    of the compacted strings foreground in the polyline pipeline).
+
+    Slot order is flat order, so ranking roots over slots reproduces the
+    dense path's deterministic min-flat-index ids exactly; pixels beyond
+    the compaction capacity degrade to background like every other
+    slot-list overflow.  Returns (dense (H,W) int32, count)."""
+    h, w = label.shape
+    n = h * w
+    live = comp.valid()
+    p = jnp.clip(comp.idx, 0, n - 1)
+    l_s = jnp.where(live, label.reshape(-1)[p], 0)
+    sz = sizes[jnp.clip(l_s, 0, sizes.shape[0] - 1)]
+    f_s = jnp.where(sz > size_thre, l_s, 0)
+    yy = p // w
+    xx = p % w
+    interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
+    f_s = jnp.where(interior, f_s, 0)
+    is_root = (f_s == p) & (f_s != 0)
+    rank = jnp.cumsum(is_root.astype(jnp.int32))
+    table = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.where(is_root, p, n)].set(rank, mode="drop")
+    dense_s = jnp.where(f_s != 0, table[jnp.clip(f_s, 0, n - 1)], 0)
+    out = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.where(live, p, n)].set(dense_s, mode="drop")[:n]
+    return out.reshape(h, w).astype(jnp.int32), rank[-1] if rank.size else 0
 
 
 def label_components_adaptive(pix, bgc: int, n_passes: int, n_jumps: int,

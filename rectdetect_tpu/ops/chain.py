@@ -75,7 +75,8 @@ def chain_neighbors(label):
     return n0.reshape(-1), n1.reshape(-1)
 
 
-def arc_number(label, n_doublings: int = 15, sparse_cap: int | None = None):
+def arc_number(label, n_doublings: int = 15, sparse_cap: int | None = None,
+               comp=None):
     """Arc-length index of every string pixel from its canonical head.
 
     label: (H, W) int32 CCL labels (-1 background) of a string image whose
@@ -92,6 +93,9 @@ def arc_number(label, n_doublings: int = 15, sparse_cap: int | None = None):
     n = h * w
     n0, n1 = chain_neighbors(label)
 
+    if comp is not None:
+        return _arc_number_sparse(label, n0, n1, n_doublings, comp.cap,
+                                  comp)
     if sparse_cap is not None:
         return _arc_number_sparse(label, n0, n1, n_doublings, sparse_cap)
 
@@ -132,17 +136,27 @@ def arc_number(label, n_doublings: int = 15, sparse_cap: int | None = None):
     return number.reshape(h, w).astype(jnp.int32), e0, e1
 
 
-def _arc_number_sparse(label, n0, n1, n_doublings: int, cap: int):
+def _arc_number_sparse(label, n0, n1, n_doublings: int, cap: int,
+                       comp=None):
     """arc_number's pointer doubling over a compacted foreground slot list:
     states live in slot space (2*cap instead of 2*H*W), so every doubling
-    gather costs O(edge pixels).  Identical output to the dense path."""
+    gather costs O(edge pixels).  Identical output to the dense path.
+
+    comp: optional pre-built Compaction of a SUPERSET of the labeled
+    pixels (the polyline pipeline shares one strings compaction across
+    its table ops — each full-frame prefix-sum/scatter costs ~as much as
+    all the slot-space work it enables); slots whose pixel has been
+    unlabeled since (break_loops) are treated as absorbing background."""
     from rectdetect_tpu.ops.compact import compact_mask
 
     h, w = label.shape
     n = h * w
     fg = label.reshape(-1) >= 0
-    comp = compact_mask(fg, cap)
-    live = comp.valid()
+    if comp is None:
+        comp = compact_mask(fg, cap)
+        live = comp.valid()
+    else:
+        live = comp.valid() & fg[jnp.clip(comp.idx, 0, n - 1)]
     p_s = jnp.clip(comp.idx, 0, n - 1)           # (S,) pixel per slot
 
     n0_s = n0[p_s]
@@ -191,16 +205,31 @@ def _arc_number_sparse(label, n0, n1, n_doublings: int, cap: int):
     return number.reshape(h, w), e0_full, e1_full
 
 
-def count_ends(junction, label):
+def count_ends(junction, label, comp=None):
     """Per-component count of degree-2 (endpoint) pixels.
 
     countEnds (oclpolyline.cl:149-155): junction==2 means the pixel plus
     exactly one neighbor.  Returns an (H*W,) histogram indexed by label.
     The reference increments non-atomically (benign race, only ==0 is
     consumed); segment-sum is the deterministic equivalent.
+
+    comp: optional Compaction of the string pixels (ends are a subset) —
+    the scatter then runs over slots instead of the full frame.
     """
     h, w = junction.shape
     nsz = h * w
+    if comp is not None:
+        live = comp.valid()
+        p = jnp.clip(comp.idx, 0, nsz - 1)
+        yy = p // w
+        xx = p % w
+        interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
+        jn_s = junction.reshape(-1)[p]
+        lbl_s = label.reshape(-1)[p]
+        is_end = live & interior & (jn_s == 2) & (lbl_s >= 0)
+        tgt = jnp.where(is_end, lbl_s, nsz)
+        return jnp.zeros((nsz + 1,), jnp.int32).at[tgt].add(
+            jnp.where(is_end, 1, 0), mode="drop")[:nsz]
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
     interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)

@@ -52,3 +52,27 @@ def gather_image(c: Compaction, img_flat, fill=0):
     n = img_flat.shape[0]
     safe = jnp.clip(c.idx, 0, n - 1)
     return jnp.where(c.valid(), img_flat[safe], fill)
+
+
+def compact_subset(c: Compaction, keep_slots, cap2: int) -> Compaction:
+    """Re-compact a slot list to the slots where keep_slots is True.
+
+    Equivalent to compact_mask(expanded_mask, cap2) for the mask that is
+    True exactly at the kept slots' pixels, but costs O(slots) instead of
+    O(N): slot order is flat order, so ranking the kept slots preserves
+    the flat-order slot assignment (including the deterministic
+    drop-highest-first overflow).
+    """
+    n = c.slot_of.shape[0] - 1
+    keep = keep_slots & c.valid()
+    ranks = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    take = keep & (ranks < cap2)
+    idx = jnp.full((cap2 + 1,), n, jnp.int32)
+    idx = idx.at[jnp.where(take, ranks, cap2)].set(c.idx, mode="drop")
+    slot_of = jnp.full((n + 1,), cap2, jnp.int32)
+    slot_of = slot_of.at[jnp.where(take, c.idx, n)].set(
+        jnp.where(take, ranks, cap2), mode="drop")
+    slot_of = slot_of.at[n].set(cap2)
+    count = jnp.minimum(jnp.where(keep.shape[0] > 0, ranks[-1] + 1, 0),
+                        cap2).astype(jnp.int32)
+    return Compaction(idx=idx[:cap2], slot_of=slot_of, n=count)

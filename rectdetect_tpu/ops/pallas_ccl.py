@@ -324,10 +324,56 @@ def label_blocked(pix, bgc: int, mode: str = "equal",
                        inner_nb=inner_nb)
 
 
+def _label_sparse(pix, bgc: int, mode: str, comp, bh, round_cap,
+                  inner_nb: int, bgval: int):
+    """Two-level exact CCL with the seeded second flood replaced by a
+    slot-space table resolve.
+
+    resolve(t, block_label) IS the exact global labeling: block labels
+    are block-local min roots, _seam_union's table maps every connected
+    set of block roots to its global min, and _resolve follows the table
+    to the fixpoint — so when a Compaction of the foreground exists, the
+    final labels cost three slot-sized ops instead of a second full
+    convergence flood (measured ~20 ms -> ~5 ms per instance at 720p).
+    Foreground pixels beyond the compaction capacity degrade to
+    background like every other slot-list overflow."""
+    h, w = pix.shape
+    n = h * w
+    pix32 = pix.astype(jnp.int32)
+    if bh is None:
+        bh = _pick_bh(h, w)
+    interpret = jax.default_backend() not in ("tpu",)
+    lbl = _run_blocks(pix32, None, bgc=bgc, mode=mode, bh=bh,
+                      interpret=interpret, round_cap=round_cap,
+                      inner_nb=inner_nb)
+    p_s = jnp.clip(comp.idx, 0, n - 1)
+    fg_s = _fg(mode, pix32.reshape(-1)[p_s], bgc) & comp.valid()
+    l_s = jnp.where(fg_s, lbl.reshape(-1)[p_s], n)
+    if h > bh:
+        t = _seam_union(pix32, lbl, bgc=bgc, mode=mode, bh=bh)
+        # resolve only the seam VALUES (every seam-affected block root
+        # appears among them), then flatten into a depth-1 map — chasing
+        # t per slot costs a full slot-gather per tree level (measured
+        # 2.5x the seeded flood it replaced)
+        rows = list(range(bh - 1, h - 1, bh))
+        sv = jnp.stack([lbl[r] for r in rows] +
+                       [lbl[r + 1] for r in rows]).reshape(-1)
+        rv = _resolve(t, sv)
+        m = jnp.arange(n + 1, dtype=jnp.int32)
+        m = m.at[sv].set(rv, mode="drop")
+        l_s = m[jnp.minimum(l_s, n)]
+    out = jnp.full((n + 1,), bgval, jnp.int32).at[
+        jnp.where(fg_s, p_s, n)].set(l_s, mode="drop")[:n]
+    return out.reshape(h, w)
+
+
 def label_components_exact(pix, bgc: int, bh: int | None = None,
                            round_cap: int | None = None,
-                           inner_nb: int = 1):
+                           inner_nb: int = 1, comp=None):
     """Drop-in exact replacement for ccl.label_components (bg -> -1)."""
+    if comp is not None:
+        return _label_sparse(pix, bgc, "equal", comp, bh, round_cap,
+                             inner_nb, -1)
     h, w = pix.shape
     lbl = label_blocked(pix, bgc, "equal", bh, round_cap, inner_nb)
     fg = pix != bgc
@@ -367,8 +413,12 @@ def label_components_pieces(pix, bgc: int, round_cap: int,
 
 
 def label_arcs_exact(number, bh: int | None = None,
-                     round_cap: int | None = None, inner_nb: int = 1):
+                     round_cap: int | None = None, inner_nb: int = 1,
+                     comp=None):
     """Drop-in exact replacement for ccl.label_arcs (bg -> 0)."""
+    if comp is not None:
+        return _label_sparse(number, 0, "arc", comp, bh, round_cap,
+                             inner_nb, 0)
     h, w = number.shape
     lbl = label_blocked(number.astype(jnp.int32), 0, "arc", bh,
                         round_cap, inner_nb)

@@ -299,6 +299,10 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
         l_new = jnp.where(move, rows3[:, 2], l)
         return a2, l_new
 
+    # fixed trip count (oclpolyline.c:186-216): an early-exit while_loop
+    # was tried and REGRESSED — the per-iteration convergence reduction
+    # plus the dynamic-trip pipeline bubbles cost more than the skipped
+    # tail iterations save
     arena, l_end = jax.lax.fori_loop(0, n_iters - 1, body,
                                      (arena, label_s.astype(jnp.int32)))
     if comp is not None:
@@ -406,13 +410,18 @@ def refine(arena: SegmentArena, label, comp=None):
 
 
 def polyline_execute(edge_binary, minerror: float, size_thre: int,
-                     cap: int, cfg: PipelineConfig = DEFAULT_CONFIG):
+                     cap: int, cfg: PipelineConfig = DEFAULT_CONFIG,
+                     return_comp: bool = False):
     """Full polyline pipeline: binary edge image -> (SegmentArena, lsid).
 
     Mirrors oclpolyline_execute (oclpolyline.c:218-309): junction ->
     gap bridging -> stringify x2 -> branch removal -> CCL -> loop breaking
     -> arc numbering -> arc labeling -> size filter -> dense relabel ->
     subdivision -> refinement.  lsid is the per-pixel segment-id map.
+
+    return_comp=True additionally returns the arc-pixel Compaction so the
+    hypothesis stage (reduce_ls.pair_bbox_table) can reuse it instead of
+    re-prefix-summing the frame; lsid > 0 only at compacted pixels.
     """
     h, w = edge_binary.shape
     sp = (max(4096, h * w // cfg.strings_sparse_factor)
@@ -420,26 +429,46 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
 
     strings = morphology.strings_chain(edge_binary, "poly_branch")
 
+    # ONE compaction of the strings foreground, shared by every table op
+    # below (each full-frame prefix-sum/scatter costs ~as much as all the
+    # slot-space work it enables; labels/ends/arcs are subsets of it)
+    comp0 = None
+    if sp is not None:
+        from rectdetect_tpu.ops.compact import compact_mask
+        comp0 = compact_mask((strings != 0).reshape(-1), sp)
+
+    # NOTE: comp-based CCL finalization (label_components(..., comp=))
+    # measured no better than the seeded second flood at 720p — the
+    # two-level path stays the default (see tools/pl_ccl_tune.py)
     label = label_components(strings, 0, cfg.ccl_passes, cfg.ccl_jumps,
                              sparse_cap=sp, scan_boost=sp is not None)
     jn2 = morphology.simple_junction(strings)
-    nends = count_ends(jn2, label)
+    nends = count_ends(jn2, label, comp0)
     strings, label = break_loops(strings, label, nends)
 
-    number, _, _ = arc_number(label, cfg.number_doublings, sparse_cap=sp)
+    number, _, _ = arc_number(label, cfg.number_doublings, sparse_cap=sp,
+                              comp=comp0)
     arcs = label_arcs(number, cfg.labelpl_passes, cfg.labelpl_jumps,
                       sparse_cap=sp, scan_boost=sp is not None)
-    sizes = component_sizes(arcs, ignore=0)
-    filtered = filter_size(arcs, sizes, size_thre)
-    dense, _ = relabel_dense(filtered)
+    if comp0 is not None:
+        from rectdetect_tpu.ops.ccl import filter_relabel_sparse
+        sizes = component_sizes(arcs, ignore=0, comp=comp0)
+        dense, _ = filter_relabel_sparse(arcs, sizes, size_thre, comp0)
+    else:
+        sizes = component_sizes(arcs, ignore=0)
+        filtered = filter_size(arcs, sizes, size_thre)
+        dense, _ = relabel_dense(filtered)
 
     comp = None
     if sp is not None:
-        from rectdetect_tpu.ops.compact import compact_mask
+        from rectdetect_tpu.ops.compact import compact_subset
         sp_arc = max(4096, h * w // cfg.arc_sparse_factor)
-        comp = compact_mask((dense > 0).reshape(-1), sp_arc)
+        keep = dense.reshape(-1)[jnp.clip(comp0.idx, 0, h * w - 1)] > 0
+        comp = compact_subset(comp0, keep, sp_arc)
     arena = mkpl_init(dense, number, cap, comp)
     arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
                                  cfg.mkpl_iters, comp)
     arena = refine(arena, lsid, comp)
+    if return_comp:
+        return arena, lsid, comp
     return arena, lsid

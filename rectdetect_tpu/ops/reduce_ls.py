@@ -64,14 +64,18 @@ def _distinct_bids(boundary, k_slots: int):
 
 
 def pair_bbox_table(boundary, lsid_img, nentry: int, k_slots: int = 4,
-                    edge_cap: int | None = None):
+                    edge_cap: int | None = None, comp=None):
     """Build the (segment, boundary) -> clip-bbox table (reduceLS,
     oclrect.cl:427-464).
 
     Sparse formulation: only edge pixels (lsid > 0) contribute, so the
     hash-table scatters run over a compacted fixed-capacity pixel list
     (ops/compact.py) instead of the full frame — the distinct-bid window
-    scan stays dense (pure VPU shifts)."""
+    scan stays dense (pure VPU shifts).
+
+    comp: optional pre-built Compaction covering all lsid > 0 pixels
+    (polyline_execute's arc compaction) — skips the full-frame prefix
+    sum; slots with lsid == 0 simply contribute nothing."""
     from rectdetect_tpu.ops.compact import compact_mask, gather_image
 
     h, w = boundary.shape
@@ -83,7 +87,8 @@ def pair_bbox_table(boundary, lsid_img, nentry: int, k_slots: int = 4,
     interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
     lsid = jnp.where(interior & (lsid_img > 0), lsid_img, 0)
 
-    comp = compact_mask((lsid > 0).reshape(-1), edge_cap)
+    if comp is None:
+        comp = compact_mask((lsid > 0).reshape(-1), edge_cap)
     ls_s = gather_image(comp, lsid.reshape(-1))
     x_s = jnp.where(comp.valid(), comp.idx % w, 0)
     y_s = jnp.where(comp.valid(), comp.idx // w, 0)

@@ -48,7 +48,7 @@ def _members_from_matrix(m, n_groups: int, k: int):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "iw", "ih"))
 def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
-                cfg: PipelineConfig):
+                cfg: PipelineConfig, comp=None):
     """Both hypothesis sources -> (segs (G,K,2,2), valid (G,K),
     status_base (G,)) ready for reduction."""
     gmax = cfg.max_groups
@@ -57,10 +57,11 @@ def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
     nentry = iw * ih * 4 // 5
 
     # lsid>0 pixels are post-size-filter arc pixels (sparse; see
-    # arc_sparse_factor), so the reduceLS scatters compact accordingly
+    # arc_sparse_factor), so the reduceLS scatters compact accordingly —
+    # reusing polyline_execute's arc compaction when provided
     table = reduce_ls.pair_bbox_table(
         boundary, lsid, nentry,
-        edge_cap=max(4096, iw * ih // cfg.arc_sparse_factor))
+        edge_cap=max(4096, iw * ih // cfg.arc_sparse_factor), comp=comp)
     dense, flat2dense, _ = reduce_ls.densify_labels(boundary, bg=-1)
 
     # --- source A: region boundaries (oclrect.c:1064-1171) ---------------
@@ -212,13 +213,14 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     # polylines on strong edges (oclrect.c:361)
     with jax.named_scope("polyline"):
         cap = cfg.ls_cap_for(iw, ih)
-        arena, lsid = polyline.polyline_execute(
-            strong_bin, cfg.minerror_rect, cfg.size_thre_rect, cap, cfg)
+        arena, lsid, plcomp = polyline.polyline_execute(
+            strong_bin, cfg.minerror_rect, cfg.size_thre_rect, cap, cfg,
+            return_comp=True)
 
     # hypotheses + reduction + pose (oclrect.c:1049-1226, on-chip)
     with jax.named_scope("hypotheses"):
         segs, valid, status = _hypotheses(arena, lsid, boundary, iw, ih,
-                                          cfg)
+                                          cfg, comp=plcomp)
         corners, ok = gquad.reduce_groups(segs, valid,
                                           cfg.hull_max_vertices)
     with jax.named_scope("pose"):

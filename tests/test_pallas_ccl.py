@@ -227,3 +227,33 @@ def test_rounds_output_diagnostic():
     ex = P.label_components_exact(jnp.asarray(pix), 0, bh=8)
     # unseeded block labels agree with exact inside each block's interior
     assert out.shape == pix.shape
+
+
+def test_sparse_resolve_matches_two_level():
+    # comp-based finalization (seam-table resolve) == seeded second flood
+    from rectdetect_tpu.ops.compact import compact_mask
+    pix = _random_blobs(h=72, w=64, seed=19)
+    want = np.asarray(P.label_components_exact(jnp.asarray(pix), 0, bh=16))
+    comp = compact_mask(jnp.asarray(pix != 0).reshape(-1), 4096)
+    got = np.asarray(P.label_components_exact(jnp.asarray(pix), 0, bh=16,
+                                              comp=comp))
+    np.testing.assert_array_equal(want, got)
+
+
+def test_sparse_resolve_arcs_matches_two_level():
+    from rectdetect_tpu.ops.compact import compact_mask
+    from rectdetect_tpu.ops import gradient  # noqa: F401  (import parity)
+    r = np.random.default_rng(5)
+    # synthetic number map: slanted chains with consecutive numbering
+    num = np.zeros((64, 80), np.int32)
+    for k in range(6):
+        y0, x0 = r.integers(2, 50), r.integers(2, 30)
+        L = int(r.integers(10, 40))
+        for i in range(L):
+            y, x = y0 + i // 3, x0 + i
+            if y < 62 and x < 78:
+                num[y, x] = i + 1
+    want = np.asarray(P.label_arcs_exact(jnp.asarray(num), bh=16))
+    comp = compact_mask(jnp.asarray(num > 0).reshape(-1), 2048)
+    got = np.asarray(P.label_arcs_exact(jnp.asarray(num), bh=16, comp=comp))
+    np.testing.assert_array_equal(want, got)

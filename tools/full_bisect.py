@@ -98,12 +98,13 @@ def main():
         if stop == 4:
             return boundary.sum()
         cap = cfg.ls_cap_for(w, h)
-        arena, lsid = polyline.polyline_execute(
-            strong_bin, cfg.minerror_rect, cfg.size_thre_rect, cap, cfg)
+        arena, lsid, plcomp = polyline.polyline_execute(
+            strong_bin, cfg.minerror_rect, cfg.size_thre_rect, cap, cfg,
+            return_comp=True)
         if stop == 5:
             return arena.sx.sum() + lsid.sum() + boundary.sum()
         segs, valid, status = prect._hypotheses(arena, lsid, boundary,
-                                                w, h, cfg)
+                                                w, h, cfg, comp=plcomp)
         if stop == 6:
             return segs.sum() + valid.sum()
         corners, ok = gquad.reduce_groups(segs, valid,

@@ -64,37 +64,39 @@ def main():
     cap = cfg.ls_cap_for(w, h)
 
     def upto(eb, stop: int):
+        from rectdetect_tpu.ops.compact import compact_mask, compact_subset
+        from rectdetect_tpu.ops.ccl import filter_relabel_sparse
         strings = morphology.strings_chain(eb, "poly_branch")
+        comp0 = compact_mask((strings != 0).reshape(-1), sp)
         if stop == 0:
-            return strings.sum()
+            return strings.sum() + comp0.n
         label = P.label_components(strings, 0, cfg.ccl_passes,
                                    cfg.ccl_jumps, sparse_cap=sp,
-                                   scan_boost=sp is not None)
+                                   scan_boost=sp is not None, comp=comp0)
         if stop == 1:
             return label.sum()
         jn2 = morphology.simple_junction(strings)
-        nends = count_ends(jn2, label)
+        nends = count_ends(jn2, label, comp0)
         strings2, label2 = break_loops(strings, label, nends)
         if stop == 2:
             return label2.sum()
         number, _, _ = arc_number(label2, cfg.number_doublings,
-                                  sparse_cap=sp)
+                                  comp=comp0)
         if stop == 3:
             return number.sum()
         arcs = P.label_arcs(number, cfg.labelpl_passes, cfg.labelpl_jumps,
-                            sparse_cap=sp, scan_boost=sp is not None)
+                            sparse_cap=sp, scan_boost=sp is not None,
+                            comp=comp0)
         if stop == 4:
             return arcs.sum()
-        sizes = P.component_sizes(arcs, ignore=0)
-        filtered = P.filter_size(arcs, sizes, cfg.size_thre_rect)
-        dense, _ = P.relabel_dense(filtered)
+        sizes = P.component_sizes(arcs, ignore=0, comp=comp0)
+        dense, _ = filter_relabel_sparse(arcs, sizes, cfg.size_thre_rect,
+                                         comp0)
         if stop == 5:
             return dense.sum()
-        comp = None
-        if sp is not None:
-            from rectdetect_tpu.ops.compact import compact_mask
-            sp_arc = max(4096, h * w // cfg.arc_sparse_factor)
-            comp = compact_mask((dense > 0).reshape(-1), sp_arc)
+        sp_arc = max(4096, h * w // cfg.arc_sparse_factor)
+        keep = dense.reshape(-1)[jnp.clip(comp0.idx, 0, h * w - 1)] > 0
+        comp = compact_subset(comp0, keep, sp_arc)
         arena = P.mkpl_init(dense, number, cap, comp)
         if stop == 6:
             return arena.sx.sum()
