@@ -80,6 +80,12 @@ class PipelineConfig:
     # 50% needs pixel-perfect alternating diagonal texture; truncation
     # degrades gracefully and calibration tightens/loosens per scene).
     strings_sparse_factor: int = 6
+    # small-capacity branch of the runtime switch in polyline_execute:
+    # used whenever the actual strings foreground fits (exactly equal
+    # output then — compact_mask drops nothing below the cap); measured
+    # 8.1% on the noisy 720p bench scene, so /10 engages on typical
+    # frames and /6 absorbs the adversarial tail.
+    strings_small_factor: int = 10
     # mkpl/refine run after the arc size filter (> sizeThre px), which
     # kills nearly all noise arcs: measured 0.32% density on a 30%-noise
     # 720p frame.  /48 (~2%) keeps a >5x margin at a ~20x cost saving.

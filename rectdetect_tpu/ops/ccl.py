@@ -165,14 +165,29 @@ def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
     return out.reshape(h, w).astype(jnp.int32)
 
 
-def calc_strength(edge_img, label, scale: float = 10000.0):
+def calc_strength(edge_img, label, scale: float = 10000.0, comp=None):
     """Per-component sum of (int)(edge^2 * scale) over interior pixels.
 
     Mirrors calcStrength (oclimgutil.cl:641-649): skips the 1px border and
     labels <= 0; per-pixel int truncation before summing.
-    """
+
+    comp: optional Compaction covering all label > 0 pixels — the
+    scatter-add then runs over slots instead of the full frame."""
     h, w = edge_img.shape
     n = h * w
+    if comp is not None:
+        live = comp.valid()
+        p = jnp.clip(comp.idx, 0, n - 1)
+        yy = p // w
+        xx = p % w
+        inter = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
+        lbl = label.reshape(-1)[p]
+        val = jnp.trunc(edge_img.reshape(-1)[p] ** 2 * scale
+                        ).astype(jnp.int32)
+        ok = live & inter & (lbl > 0)
+        tgt = jnp.where(ok, lbl, n)
+        return jnp.zeros((n + 1,), jnp.int32).at[tgt].add(
+            jnp.where(ok, val, 0), mode="drop")[:n]
     inter = _interior_mask(h, w, 1)
     lbl = label.reshape(-1)
     val = jnp.trunc(edge_img.reshape(-1) ** 2 * scale).astype(jnp.int32)
@@ -183,13 +198,29 @@ def calc_strength(edge_img, label, scale: float = 10000.0):
     return acc[:n]
 
 
-def filter_strength(label, strength, thre: int):
+def filter_strength(label, strength, thre: int, comp=None):
     """Kill weak components (filterStrength, oclimgutil.cl:651-657).
 
     Interior pixels whose component strength < thre (or label <= 0) -> -1.
     Border pixels keep their label, as in the reference.
-    """
+
+    comp: optional Compaction covering all label > 0 pixels — the
+    per-pixel strength gather then runs over slots; pixels outside the
+    compaction have label <= 0, which the dense path kills to -1 at the
+    interior anyway, so the base image is where(interior, -1, label)."""
     h, w = label.shape
+    n = h * w
+    if comp is not None:
+        live = comp.valid()
+        p = jnp.clip(comp.idx, 0, n - 1)
+        lbl_s = jnp.where(live, label.reshape(-1)[p], 0)
+        st_s = strength[jnp.clip(lbl_s, 0, strength.shape[0] - 1)]
+        keep = live & (lbl_s > 0) & (st_s >= thre)
+        inter = _interior_mask(h, w, 1)
+        base = jnp.where(inter, -1, label).reshape(-1)
+        out = jnp.concatenate([base, jnp.zeros((1,), base.dtype)]).at[
+            jnp.where(keep, p, n)].set(lbl_s, mode="drop")[:n]
+        return out.reshape(h, w)
     inter = _interior_mask(h, w, 1)
     lbl = label.reshape(-1)
     st = strength[jnp.clip(lbl, 0, strength.shape[0] - 1)]

@@ -429,6 +429,40 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
 
     strings = morphology.strings_chain(edge_binary, "poly_branch")
 
+    if sp is not None:
+        # runtime slot-capacity switch (same pattern as
+        # ccl.label_components_adaptive): when the strings foreground
+        # fits the small list, every slot-space table op below runs at
+        # the small capacity — exactly equal output, since compact_mask
+        # drops nothing when fg <= cap.  Typical post-removeBranch
+        # density is ~8-12%; the big cap covers the adversarial ~16%.
+        sp_small = max(4096, h * w // cfg.strings_small_factor)
+        fg_count = jnp.sum((strings != 0).astype(jnp.int32))
+        def small(s):
+            return _polyline_tail(s, sp_small, minerror, size_thre, cap,
+                                  cfg)
+
+        def big(s):
+            return _polyline_tail(s, sp, minerror, size_thre, cap, cfg)
+
+        arena, lsid, comp = jax.lax.cond(fg_count <= sp_small, small, big,
+                                         strings)
+        if return_comp:
+            return arena, lsid, comp
+        return arena, lsid
+
+    arena, lsid, comp = _polyline_tail(strings, None, minerror, size_thre,
+                                       cap, cfg)
+    if return_comp:
+        return arena, lsid, comp
+    return arena, lsid
+
+
+def _polyline_tail(strings, sp: int | None, minerror: float,
+                   size_thre: int, cap: int, cfg: PipelineConfig):
+    """polyline_execute after stringification, at one slot capacity."""
+    h, w = strings.shape
+
     # ONE compaction of the strings foreground, shared by every table op
     # below (each full-frame prefix-sum/scatter costs ~as much as all the
     # slot-space work it enables; labels/ends/arcs are subsets of it)
@@ -469,6 +503,4 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
     arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
                                  cfg.mkpl_iters, comp)
     arena = refine(arena, lsid, comp)
-    if return_comp:
-        return arena, lsid, comp
-    return arena, lsid
+    return arena, lsid, comp

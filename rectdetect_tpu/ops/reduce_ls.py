@@ -140,6 +140,25 @@ def densify_labels(label, bg: int = -1):
     return dense.reshape(h, w), table, rank[-1]
 
 
+def dense_roots(label, k: int, bg: int = -1):
+    """Flat index of the root of each dense id 1..k, as a (k+1,) table.
+
+    roots[g] = first flat position where the inclusive root-rank reaches
+    g — k log-probes via searchsorted instead of a full-frame scatter
+    (which costs ~8 ms at 720p for what is a k~200-entry result).
+    Ids beyond the actual root count return n (no such root)."""
+    h, w = label.shape
+    n = h * w
+    flat = label.reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_root = (flat == idx) & (flat != bg)
+    rank = jnp.cumsum(is_root.astype(jnp.int32))
+    gs = jnp.arange(k + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(rank, gs, side="left").astype(jnp.int32)
+    ok = (gs >= 1) & (gs <= rank[-1])
+    return jnp.where(ok, pos, n)
+
+
 def probe_membership(boundary, arena, n_groups: int, table,
                      probe_n: int = 3, probe_dist: int = 2):
     """Membership matrix M[group, lsid] from the 3x5 probe pattern around

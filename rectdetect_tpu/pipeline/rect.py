@@ -68,14 +68,10 @@ def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
     m_a = reduce_ls.probe_membership(boundary, arena, gmax, flat2dense,
                                      cfg.probe_n, cfg.probe_dist)
     counts = jnp.sum(m_a, axis=1)
-    # boundary group g's original (flat) label = its root pixel index
-    n = iw * ih
-    idxs = jnp.arange(n, dtype=jnp.int32)
-    flatb = boundary.reshape(-1)
-    is_root = (flatb == idxs) & (flatb >= 0)
-    roots = jnp.zeros((gmax + 1,), jnp.int32).at[
-        jnp.where(is_root, flat2dense[jnp.clip(flatb, 0, n - 1)],
-                  gmax + 1)].set(idxs, mode="drop")
+    # boundary group g's original (flat) label = its root pixel index;
+    # the g-th root in flat order has dense id g, so log-probe the root
+    # rank instead of scattering the full frame (reduce_ls.dense_roots)
+    roots = reduce_ls.dense_roots(boundary, gmax, bg=-1)
 
     ids_a, mv_a = _members_from_matrix(m_a, gmax, k)
     group_ok_a = counts[1:] >= 4                        # oclrect.c:1108
@@ -157,6 +153,7 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     # as "edges" for the downstream blur.
     with jax.named_scope("edge_labeling"):
         s = morphology.strings_chain(edge_bin, "rect")
+        scomp = None
         if sp is not None:
             # labels feed only calcStrength/filterStrength -> capped
             # block-local pieces are output-equivalent (pallas_ccl.
@@ -165,11 +162,17 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
                 s, 0, cfg.ccl_passes, cfg.ccl_jumps,
                 small_cap=max(4096, ih * iw // 8), big_cap=sp,
                 round_cap=cfg.weak_ccl_round_cap, pieces_ok=True)
+            # one strings-foreground compaction shared by the strength
+            # scatter and both per-pixel strength filters
+            from rectdetect_tpu.ops.compact import compact_mask
+            scomp = compact_mask((s != 0).reshape(-1), sp)
         else:
             lbl = ccl.label_components(s, 0, cfg.ccl_passes,
                                        cfg.ccl_jumps)
-        st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale)
-        weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
+        st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale,
+                               comp=scomp)
+        weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak,
+                                       comp=scomp)
         weak_bin = (weak_lbl > 0).astype(jnp.int32)
 
     # edge-limited blur + quantize + despeckle (oclrect.c:286-303)
@@ -181,7 +184,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
                                              cfg.quantize_levels)
 
     # strong edges (oclrect.c:307-312)
-    strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)
+    strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong,
+                                     comp=scomp)
     strong_bin = (strong_lbl > 0).astype(jnp.int32)
 
     # merge masks + region CCL + cleanup (oclrect.c:314-336)
@@ -259,8 +263,7 @@ def rect_stage_images(bgr, cfg: PipelineConfig = DEFAULT_CONFIG):
     quant = regions.quantize_packed(blurred)
     despeck = regions.despeckle(quant, fe.edge_thin)
     strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)
-    jn2 = morphology.simple_junction(strong_lbl, positive_only=True)
-    mask = regions.merge_mask(jn2)
+    mask = regions.junction_merge_mask(strong_lbl)
     seg = regions.label_merge(despeck, mask, strong_lbl,
                               cfg.labelmerge_passes, cfg.labelmerge_jumps)
     seg = regions.despeckle2(seg, regions.label_sizes(seg),

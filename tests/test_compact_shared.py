@@ -75,3 +75,49 @@ def test_compact_subset_matches_fresh_compaction():
         np.testing.assert_array_equal(np.asarray(a.slot_of),
                                       np.asarray(b.slot_of))
         assert int(a.n) == int(b.n)
+
+
+def test_strength_ops_comp_match_dense():
+    from rectdetect_tpu.ops import morphology as M
+    r = np.random.default_rng(21)
+    eb = (r.random((64, 96)) < 0.25).astype(np.int32)
+    eb[10, 5:90] = 1
+    s = M.strings_chain(jnp.asarray(eb), "rect")
+    lab = ccl.label_components(s, 0, 10, 8)
+    lab = jnp.where(s != 0, lab, -1)
+    edge = jnp.asarray(r.random((64, 96)).astype(np.float32))
+    comp = compact_mask(jnp.asarray(np.asarray(s) != 0).reshape(-1), 4096)
+    st_d = ccl.calc_strength(edge, lab)
+    st_c = ccl.calc_strength(edge, lab, comp=comp)
+    np.testing.assert_array_equal(np.asarray(st_d), np.asarray(st_c))
+    for thre in (50, 500):
+        a = ccl.filter_strength(lab, st_d, thre)
+        b = ccl.filter_strength(lab, st_d, thre, comp=comp)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dense_roots_matches_scatter():
+    from rectdetect_tpu.ops import reduce_ls
+    r = np.random.default_rng(9)
+    lab = np.full((48, 64), -1, np.int32)
+    # a few components with min-flat-index roots
+    for k in range(7):
+        y, x = r.integers(2, 40), r.integers(2, 50)
+        root = y * 64 + x
+        lab[y:y + 3, x:x + 4] = root
+    lj = jnp.asarray(lab)
+    dense, table, cnt = reduce_ls.densify_labels(lj, bg=-1)
+    gmax = 16
+    n = 48 * 64
+    idxs = np.arange(n, dtype=np.int32)
+    flatb = lab.reshape(-1)
+    is_root = (flatb == idxs) & (flatb >= 0)
+    want = np.zeros((gmax + 1,), np.int32)
+    for i in np.nonzero(is_root)[0]:
+        d = int(np.asarray(table)[flatb[i]])
+        if d <= gmax:
+            want[d] = i
+    got = np.asarray(reduce_ls.dense_roots(lj, gmax, bg=-1))
+    for g in range(1, int(cnt) + 1):
+        if g <= gmax:
+            assert got[g] == want[g], (g, got[g], want[g])
