@@ -120,23 +120,19 @@ def _ccl_block_kernel(pix_ref, seed_ref, out_ref, rounds_ref, *, bgc: int,
     conn_l = nb_ok[NEIGH8.index((0, -1))]   # connected to (y, x-1)
     conn_u = nb_ok[NEIGH8.index((-1, 0))]   # connected to (y-1, x)
 
-    def seg_scan(v, conn, axis: int, reverse: bool, length: int):
-        """Segmented running min along `axis`; conn[pos] = linked to the
-        previous position (pos-1).  Hillis-Steele: log2(length) steps."""
+    def seg_scan(v, conn, sy: int, sx: int, reverse: bool, length: int):
+        """Segmented running min along unit direction (sy, sx);
+        conn[pos] = linked to the predecessor at (y-sy, x-sx).
+        Hillis-Steele: log2(length) steps."""
         if reverse:
-            # conn_r[pos] = linked to pos+1
-            f = sh(conn, 0, 1, 0) if axis == 1 else sh(conn, 1, 0, 0)
+            f = sh(conn, sy, sx, 0)     # linked to the successor
         else:
             f = conn
         d = 1
         while d < length:
             step = d if reverse else -d
-            if axis == 1:
-                v_sh = sh(v, 0, step, sent)
-                f_sh = sh(f, 0, step, 0)
-            else:
-                v_sh = sh(v, step, 0, sent)
-                f_sh = sh(f, step, 0, 0)
+            v_sh = sh(v, sy * step, sx * step, sent)
+            f_sh = sh(f, sy * step, sx * step, 0)
             v = jnp.where(f != 0, jnp.minimum(v, v_sh), v)
             f = f & f_sh
             d *= 2
@@ -150,10 +146,15 @@ def _ccl_block_kernel(pix_ref, seed_ref, out_ref, rounds_ref, *, bgc: int,
                 gn = jnp.minimum(gn, jnp.where(ok != 0, sh(g, dy, dx, sent),
                                                sent))
             g = gn
-        g = seg_scan(g, conn_l, 1, False, w)
-        g = seg_scan(g, conn_l, 1, True, w)
-        g = seg_scan(g, conn_u, 0, False, bh)
-        g = seg_scan(g, conn_u, 0, True, bh)
+        g = seg_scan(g, conn_l, 0, 1, False, w)
+        g = seg_scan(g, conn_l, 0, 1, True, w)
+        g = seg_scan(g, conn_u, 1, 0, False, bh)
+        g = seg_scan(g, conn_u, 1, 0, True, bh)
+        # NOTE: diagonal seg scans were tried and reverted — measured
+        # round counts on real string maps did NOT drop (convergence is
+        # bounded by geodesic tortuosity of noise paths, which mix all
+        # directions, not by stairstep runs), so they only added ~60%
+        # per-round cost.
         return g
 
     cap = jnp.int32(_round_cap(bh, w) if round_cap is None else round_cap)
