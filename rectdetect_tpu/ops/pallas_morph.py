@@ -400,3 +400,87 @@ def merge_mask_pallas(strong_lbl, bh: int = 64):
         interpret=interpret,
     )(top, bot)
     return out[:h, q:q + w]
+
+
+# ---------------------------------------------------------------------------
+# Distinct boundary ids in the 7x7 window (reduceLS slot scan).
+# ---------------------------------------------------------------------------
+
+_DB_HALO = 3
+
+
+def _distinct_bids_kernel(top_ref, bot_ref, o0_ref, o1_ref, o2_ref, o3_ref,
+                          *, h: int, bh: int, q: int):
+    """Up to 4 distinct positive ids per pixel's 7x7 window, scan order
+    (reduceLS, oclrect.cl:441-447).  Input is zero-padded in x and
+    pre-shifted in y (top/bot roll trick), so every tap is a bare roll;
+    rows wrapped in from the other end of the frame are zeroed by the
+    global row mask, matching the XLA formulation's zero padding."""
+    blk = pl.program_id(0)
+    eh = bh + 2 * q
+    x = jnp.concatenate([top_ref[:], bot_ref[:][bh - 2 * q:]], axis=0)
+    wp = x.shape[1]
+    ly = jax.lax.broadcasted_iota(jnp.int32, (eh, wp), 0)
+    yy = ly + blk * bh - q
+    x = jnp.where((yy >= 0) & (yy < h), x, 0)
+
+    def shx(arr, dy: int, dx: int):
+        v = arr
+        if dy:
+            v = jnp.roll(v, -dy, 0)
+        if dx:
+            v = jnp.roll(v, -dx, 1)
+        return v
+
+    zeros = jnp.zeros((eh, wp), jnp.int32)
+    s = [zeros, zeros, zeros, zeros]
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            b = shx(x, dy, dx)
+            fresh = b > 0
+            for si in s:
+                fresh = fresh & (si != b)
+            for i in range(4):
+                put = fresh & (s[i] == 0)
+                s[i] = jnp.where(put, b, s[i])
+                fresh = fresh & ~put
+    sl = slice(q, q + bh)
+    o0_ref[:] = s[0][sl]
+    o1_ref[:] = s[1][sl]
+    o2_ref[:] = s[2][sl]
+    o3_ref[:] = s[3][sl]
+
+
+def distinct_bids_pallas(boundary, bh: int = 64):
+    """(H, W) int32 boundary ids -> 4 slot maps, bit-exact vs
+    reduce_ls._distinct_bids with k_slots=4.
+
+    The frame's y rows outside [0, H) and x cols outside [0, W) read as
+    0 via the padding, identical to pad2d(..., 'zero')."""
+    h, w = boundary.shape
+    q = _DB_HALO
+    wp = pl.cdiv(w + 2 * q, 128) * 128
+    # clamp negatives (background -1) to 0 up front: only ids > 0 are
+    # ever collected, and zero padding must be indistinguishable from bg
+    x = jnp.maximum(boundary.astype(jnp.int32), 0)
+    x = jnp.pad(x, ((0, 0), (q, wp - w - q)))
+    bh = max(2 * q + 2, min(bh, max(8, (h + 7) // 8 * 8)))
+    bh = (bh + 7) // 8 * 8
+    nb = pl.cdiv(h, bh)
+    h2 = nb * bh
+    if h2 != h:
+        x = jnp.pad(x, ((0, h2 - h), (0, 0)))
+    top = jnp.roll(x, q, axis=0)
+    bot = jnp.roll(x, -q, axis=0)
+    spec = pl.BlockSpec((bh, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() not in ("tpu",)
+    outs = pl.pallas_call(
+        functools.partial(_distinct_bids_kernel, h=h, bh=bh, q=q),
+        out_shape=tuple(jax.ShapeDtypeStruct((h2, wp), jnp.int32)
+                        for _ in range(4)),
+        grid=(nb,),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec, spec, spec),
+        interpret=interpret,
+    )(top, bot)
+    return [o[:h, q:q + w] for o in outs]

@@ -93,7 +93,15 @@ def pair_bbox_table(boundary, lsid_img, nentry: int, k_slots: int = 4,
     x_s = jnp.where(comp.valid(), comp.idx % w, 0)
     y_s = jnp.where(comp.valid(), comp.idx // w, 0)
 
-    slots = _distinct_bids(boundary, k_slots)
+    import jax
+
+    if jax.default_backend() == "tpu" and k_slots == 4:
+        # the 49-tap 4-slot window scan as VMEM rolls (bit-exact,
+        # ops/pallas_morph.py)
+        from rectdetect_tpu.ops.pallas_morph import distinct_bids_pallas
+        slots = distinct_bids_pallas(boundary)
+    else:
+        slots = _distinct_bids(boundary, k_slots)
     big = jnp.int32(2 ** 30)
 
     owner_lsid = jnp.full((nentry + 1,), big, jnp.int32)

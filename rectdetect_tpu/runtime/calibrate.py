@@ -84,6 +84,11 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         cfg,
         sparse_factor=factor_for(max(edge_d, strings_d), cap=16),
         strings_sparse_factor=factor_for(strings_d, cap=24),
+        # the small branch of polyline's runtime capacity switch only
+        # needs to cover TYPICAL frames (overflow falls back to the big
+        # list with exactly equal output), so a 1.5x margin suffices
+        strings_small_factor=max(1, min(
+            40, int(1.0 / min(max(strings_d * 1.5, 1e-4), 1.0)))),
         boundary_sparse_factor=factor_for(boundary_d, cap=32),
         arc_sparse_factor=factor_for(arcs_d, cap=128),
         ls_capacity=int(min(max(arcs * 4 * MARGIN, 4096), 262144)),
@@ -92,6 +97,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     native.plan_save(plan_path, _key(dev, h, w), {
         "sparse_factor": str(new.sparse_factor),
         "strings_sparse_factor": str(new.strings_sparse_factor),
+        "strings_small_factor": str(new.strings_small_factor),
         "boundary_sparse_factor": str(new.boundary_sparse_factor),
         "arc_sparse_factor": str(new.arc_sparse_factor),
         "ls_capacity": str(new.ls_capacity),
@@ -114,6 +120,8 @@ def load_calibrated_config(h: int, w: int,
                                       cfg.sparse_factor)),
         strings_sparse_factor=int(entries.get(
             "strings_sparse_factor", cfg.strings_sparse_factor)),
+        strings_small_factor=int(entries.get(
+            "strings_small_factor", cfg.strings_small_factor)),
         boundary_sparse_factor=int(entries.get(
             "boundary_sparse_factor", cfg.boundary_sparse_factor)),
         arc_sparse_factor=int(entries.get("arc_sparse_factor",

@@ -39,3 +39,19 @@ def test_merge_mask_pallas_negative_labels():
     sl[sl == 0] = -1
     got = np.asarray(merge_mask_pallas(jnp.asarray(sl), bh=32))
     np.testing.assert_array_equal(_want(sl), got)
+
+
+def test_distinct_bids_pallas_bit_exact():
+    from rectdetect_tpu.ops.reduce_ls import _distinct_bids
+    from rectdetect_tpu.ops.pallas_morph import distinct_bids_pallas
+    r = np.random.default_rng(13)
+    # blocky boundary-id map with -1 background (flat-index-like ids)
+    b = np.full((70, 150), -1, np.int32)
+    for _ in range(25):
+        y, x = r.integers(0, 64), r.integers(0, 140)
+        b[y:y + r.integers(1, 6), x:x + r.integers(1, 9)] = y * 150 + x + 1
+    want = _distinct_bids(jnp.asarray(b), 4)
+    got = distinct_bids_pallas(jnp.asarray(b), bh=24)
+    for i in range(4):
+        np.testing.assert_array_equal(np.asarray(want[i]),
+                                      np.asarray(got[i]), err_msg=f"slot {i}")
