@@ -94,6 +94,8 @@ def edge_front_pallas(labb, bh: int = 32):
     edge_lab(quantize_labf(labb))."""
     h, w, _ = labb.shape
     wp = pl.cdiv(w + 2 * _R, 128) * 128
+    # VMEM budget: bh * wp <= 45056 elems (bh=32 at 720p measured)
+    bh = max(8, min(bh, (45056 // wp) // 8 * 8 or 8))
     p = pad2d(jnp.moveaxis(labb, -1, 0), _R, "mirror")    # (3, h+4, w+4)
     lab5 = jnp.stack([p[:, b:b + h, :] for b in range(5)])  # (5,3,h,w+4)
     lab5 = jnp.pad(lab5, ((0, 0), (0, 0), (0, 0), (0, wp - w - 2 * _R)))

@@ -205,7 +205,9 @@ def quant_despeckle_pallas(packed, edge_mag, n0: int = 24, n1: int = 24,
     p = packed.astype(jnp.int32)
     e = edge_mag.astype(jnp.float32)
     q = _HALO
-    # the two rolled copies only cover the (bh + 2q) window when bh >= 2q
+    # the two rolled copies only cover the (bh + 2q) window when bh >= 2q;
+    # VMEM budget: (bh + 2q) * w <= 102400 elems (bh=64 at 720p measured)
+    bh = min(bh, max(2 * q, (102400 // max(w, 1) - 2 * q) // 8 * 8))
     bh = max(2 * q, min(bh, max(8, (h + 7) // 8 * 8)))
     nb = pl.cdiv(h, bh)
     h2 = nb * bh
@@ -241,7 +243,10 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
     h, w = edge_bin.shape
     x = edge_bin.astype(jnp.int32)
     q = _HALO
-    # bh >= 2q so the two rolled copies cover the (bh + 2q) window
+    # bh >= 2q so the two rolled copies cover the (bh + 2q) window;
+    # VMEM budget: (bh + 2q) * w <= 184320 elems (measured limit — the
+    # 720p default bh=128 sits just under it; 1080p OOMs without this)
+    bh = min(bh, max(2 * q, (184320 // max(w, 1) - 2 * q) // 8 * 8))
     bh = max(2 * q, min(bh, max(8, (h + 7) // 8 * 8)))
     nb = pl.cdiv(h, bh)
     # pad to whole blocks BEFORE rolling: a trailing partial block would
@@ -381,6 +386,8 @@ def merge_mask_pallas(strong_lbl, bh: int = 64):
     wp = pl.cdiv(w + 2 * q, 128) * 128
     x = strong_lbl.astype(jnp.int32)
     x = jnp.pad(x, ((0, 0), (q, wp - w - q)))
+    # VMEM budget: (bh + 2q) * wp <= 115456 elems (measured at 720p)
+    bh = min(bh, max(2 * q + 6, (115456 // wp - 2 * q) // 8 * 8))
     bh = max(2 * q + 6, min(bh, max(8, (h + 7) // 8 * 8)))
     bh = (bh + 7) // 8 * 8
     nb = pl.cdiv(h, bh)
@@ -464,6 +471,8 @@ def distinct_bids_pallas(boundary, bh: int = 64):
     # ever collected, and zero padding must be indistinguishable from bg
     x = jnp.maximum(boundary.astype(jnp.int32), 0)
     x = jnp.pad(x, ((0, 0), (q, wp - w - q)))
+    # VMEM budget: (bh + 2q) * wp <= 98560 elems (measured at 720p)
+    bh = min(bh, max(2 * q + 2, (98560 // wp - 2 * q) // 8 * 8))
     bh = max(2 * q + 2, min(bh, max(8, (h + 7) // 8 * 8)))
     bh = (bh + 7) // 8 * 8
     nb = pl.cdiv(h, bh)

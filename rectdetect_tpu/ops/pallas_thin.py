@@ -86,6 +86,9 @@ def _thin_kernel(em8_ref, vx_ref, vy_ref, out_ref, *, bh: int, mode: str,
 def _thin_pallas(edge_img, vec, mode: str, slack: float, bh: int):
     h, w = edge_img.shape
     wp = pl.cdiv(w + 2 * _R, 128) * 128
+    # VMEM budget: bh * wp <= 22528 elems (bh=16 at 720p measured; the
+    # per-k weight maps dominate the scoped stack)
+    bh = max(8, min(bh, (22528 // wp) // 8 * 8 or 8))
     p = pad2d(edge_img, _R, "mirror")                     # (h+8, w+8)
     # slice b holds y offset b-3: p[(b-3)+_R + y] = edge[y + b-3]
     em8 = jnp.stack([p[b + 1:b + 1 + h, :] for b in range(8)])

@@ -1,0 +1,38 @@
+"""Width-aware VMEM block budgets: every row-block Pallas kernel must
+pick a legal block height at 1080p/4K widths (1080p OOMed the scoped
+VMEM stack before the budgets existed).  Interpret mode only checks the
+shape/blocking logic; the budgets themselves are measured constants."""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def test_wide_kernels_run():
+    h, w = 40, 1920
+    r = np.random.default_rng(3)
+
+    from rectdetect_tpu.ops.pallas_morph import (
+        morph_chain_pallas, merge_mask_pallas, distinct_bids_pallas,
+        quant_despeckle_pallas)
+    eb = (r.random((h, w)) < 0.2).astype(np.int32)
+    assert np.asarray(morph_chain_pallas(jnp.asarray(eb), "rect")).shape \
+        == (h, w)
+    sl = (eb * r.integers(1, 99, (h, w))).astype(np.int32)
+    assert np.asarray(merge_mask_pallas(jnp.asarray(sl))).shape == (h, w)
+    assert np.asarray(distinct_bids_pallas(jnp.asarray(sl))[0]).shape \
+        == (h, w)
+    packed = r.integers(0, 2**30, (h, w)).astype(np.int32)
+    em = r.random((h, w)).astype(np.float32)
+    assert np.asarray(quant_despeckle_pallas(
+        jnp.asarray(packed), jnp.asarray(em))).shape == (h, w)
+
+    from rectdetect_tpu.ops.pallas_thin import thinthres_pallas
+    from rectdetect_tpu.ops.pallas_grad import edge_front_pallas
+    from rectdetect_tpu.ops import gradient
+    vec = gradient.edgevec(jnp.asarray(em))
+    assert np.asarray(thinthres_pallas(jnp.asarray(em), vec)).shape \
+        == (h, w)
+    labb = jnp.asarray(r.random((h, w, 3)).astype(np.float32))
+    em2, vec2 = edge_front_pallas(labb)
+    assert np.asarray(em2).shape == (h, w)
+    assert np.asarray(vec2).shape == (h, w, 2)
