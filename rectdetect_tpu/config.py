@@ -86,6 +86,12 @@ class PipelineConfig:
     # 8.1% on the noisy 720p bench scene, so /10 engages on typical
     # frames and /6 absorbs the adversarial tail.
     strings_small_factor: int = 10
+    # cycle re-numbering sub-list in chain.arc_chain_sparse: cycles that
+    # survive stringify/removeBranch are closed rings (>= ~12 px each);
+    # even ring-packed adversarial frames stay under ~8% of pixels, and
+    # noise frames measure far lower.  Overflow drops whole rings
+    # deterministically (they become no arcs, like break_loops residue).
+    cycle_sparse_factor: int = 24
     # mkpl/refine run after the arc size filter (> sizeThre px), which
     # kills nearly all noise arcs: measured 0.32% density on a 30%-noise
     # 720p frame.  /48 (~2%) keeps a >5x margin at a ~20x cost saving.

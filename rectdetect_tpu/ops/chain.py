@@ -205,6 +205,150 @@ def _arc_number_sparse(label, n0, n1, n_doublings: int, cap: int,
     return number.reshape(h, w), e0_full, e1_full
 
 
+def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int):
+    """Arc-length numbering with built-in loop breaking, in one walk.
+
+    Replaces the polyline pipeline's strings-CCL -> count_ends ->
+    break_loops -> arc_number chain (and feeds the label_arcs-free arc
+    grouping, see polyline._polyline_tail): on a degree<=2 string map
+    (post removeBranch, oclpolyline.cl:126-147) two 8-adjacent foreground
+    pixels are same-component by definition, so the directed walk of
+    arc_number needs no CCL labels.  Components whose walks never absorb
+    are cycles; their canonical root (the min flat index — the same pixel
+    breakLoops kills, since labelxPreprocess roots are component minima,
+    oclpolyline.cl:157-167) is recovered by folding a min-visited-index
+    accumulator into the pointer doubling, and each cycle is re-numbered
+    by a second doubling over the (few) cycle slots only, with steps into
+    the root absorbing — the walk semantics of the root being deleted.
+
+    Documented deviations (docs/STATUS.md):
+      * cycles touching the image border absorb at the border pixel
+        (border pixels walk as isolated) instead of being split at the
+        component root — same pixels, the single arc is cut at a
+        different point;
+      * isolated pixels stay on the edge map (they produce no arc either
+        way, number stays 0);
+      * chains longer than 2^n_doublings px degrade to deterministic
+        partial numbering (the reference degrades identically past its
+        fixed-hop reach, oclpolyline.cl:287-310).
+
+    Returns (number_s, head_s, live) over comp slots:
+      number_s: (S,) int32 arc index (0 at heads/cycle roots/background)
+      head_s:   (S,) int32 flat pixel index of the chain head (valid
+                where number_s > 0)
+      live:     (S,) bool slot validity
+    """
+    h, w = strings.shape
+    n = h * w
+    lbl01 = jnp.where(strings != 0, 0, -1).astype(jnp.int32)
+    n0, n1 = chain_neighbors(lbl01)
+
+    S = comp.cap
+    live = comp.valid()
+    p_s = jnp.clip(comp.idx, 0, n - 1)
+    n0_s = n0[p_s]
+    n1_s = n1[p_s]
+
+    # ---- pass A: full walk with min-visited accumulation ----------------
+    nk = jnp.concatenate([n0_s, n1_s])            # (2S,) target pixel
+    p_rep = jnp.concatenate([p_s, p_s])
+    live2 = jnp.concatenate([live, live])
+    absorbing = (nk == p_rep) | ~live2
+    q_slot = comp.slot_of[jnp.clip(nk, 0, n)]
+    q_ok = q_slot < S
+    q_slot = jnp.clip(q_slot, 0, S - 1)
+    absorbing = absorbing | ~q_ok                 # comp overflow: absorb
+    n0_at_q = n0_s[q_slot]
+    kprime = jnp.where(n0_at_q == p_rep, 1, 0).astype(jnp.int32)
+    self_state = jnp.arange(2 * S, dtype=jnp.int32)
+    ptr = jnp.where(absorbing, self_state, kprime * S + q_slot)
+    dist = jnp.where(absorbing, 0, 1).astype(jnp.int32)
+    minv = p_rep.astype(jnp.int32)
+    absorb0 = absorbing
+
+    for _ in range(n_doublings):
+        packed = jnp.stack([dist, ptr, minv], axis=1)   # one row gather
+        rows = packed[ptr]
+        dist = dist + rows[:, 0]
+        minv = jnp.minimum(minv, rows[:, 2])
+        ptr = rows[:, 1]
+
+    absorbed = absorb0[ptr]
+    endpix = p_rep[ptr]
+    e0, d0, a0 = endpix[:S], dist[:S], absorbed[:S]
+    e1, d1, a1 = endpix[S:], dist[S:], absorbed[S:]
+    pick0 = e0 <= e1
+    num_path = jnp.where(pick0, d0, d1)           # distance to the head
+    okdir = jnp.where(pick0, a0, a1)
+    head_path = jnp.minimum(e0, e1)
+
+    # ---- cycle detection + root kill -------------------------------------
+    cyc = live & ~a0 & ~a1
+    root = jnp.minimum(minv[:S], minv[S:])        # cycle min flat index
+    is_root = cyc & (p_s == root)
+    sub = cyc & ~is_root
+
+    number_s = jnp.where(live & okdir & ~cyc, num_path, 0).astype(jnp.int32)
+    head_s = head_path
+
+    # ---- pass B: re-number the cut cycles over a tiny sub-list ----------
+    C = cyc_cap
+    slot_ids = jnp.arange(S, dtype=jnp.int32)
+    ranks = jnp.cumsum(sub.astype(jnp.int32)) - 1
+    take = sub & (ranks < C)                      # overflow -> number 0
+    sub_idx = jnp.full((C + 1,), S, jnp.int32).at[
+        jnp.where(take, ranks, C)].min(slot_ids, mode="drop")[:C]
+    sub_of = jnp.full((S + 1,), C, jnp.int32).at[
+        jnp.where(take, slot_ids, S)].min(
+        jnp.where(take, ranks, C), mode="drop")
+    sub_of = sub_of.at[S].set(C)
+
+    ssafe = jnp.clip(sub_idx, 0, S - 1)
+    sub_live = sub_idx < S
+    p2 = p_s[ssafe]
+    r2 = root[ssafe]
+    n0_2 = n0_s[ssafe]
+    n1_2 = n1_s[ssafe]
+
+    nk2 = jnp.concatenate([n0_2, n1_2])
+    p2_rep = jnp.concatenate([p2, p2])
+    r2_rep = jnp.concatenate([r2, r2])
+    live2b = jnp.concatenate([sub_live, sub_live])
+    absorbing2 = (nk2 == p2_rep) | (nk2 == r2_rep) | ~live2b
+    qs2 = comp.slot_of[jnp.clip(nk2, 0, n)]
+    q2 = sub_of[jnp.clip(qs2, 0, S)]
+    q2ok = q2 < C
+    q2 = jnp.clip(q2, 0, C - 1)
+    absorbing2 = absorbing2 | ~q2ok
+    n0_at_q2 = n0_2[q2]
+    kp2 = jnp.where(n0_at_q2 == p2_rep, 1, 0).astype(jnp.int32)
+    self2 = jnp.arange(2 * C, dtype=jnp.int32)
+    ptr2 = jnp.where(absorbing2, self2, kp2 * C + q2)
+    dist2 = jnp.where(absorbing2, 0, 1).astype(jnp.int32)
+    ab02 = absorbing2
+
+    for _ in range(n_doublings):
+        packed2 = jnp.stack([dist2, ptr2], axis=1)
+        rows2 = packed2[ptr2]
+        dist2 = dist2 + rows2[:, 0]
+        ptr2 = rows2[:, 1]
+
+    absorbed2 = ab02[ptr2]
+    end2 = p2_rep[ptr2]
+    e0b, d0b, a0b = end2[:C], dist2[:C], absorbed2[:C]
+    e1b, d1b, a1b = end2[C:], dist2[C:], absorbed2[C:]
+    pick0b = e0b <= e1b
+    numb = jnp.where(pick0b, d0b, d1b)
+    okb = jnp.where(pick0b, a0b, a1b)
+    headb = jnp.minimum(e0b, e1b)
+    numb = jnp.where(sub_live & okb, numb, 0).astype(jnp.int32)
+
+    tgt = jnp.where(sub_live, sub_idx, S)         # index S drops (OOB)
+    number_s = number_s.at[tgt].set(numb, mode="drop")
+    head_s = head_s.at[tgt].set(headb, mode="drop")
+    return number_s, head_s, live
+
+
 def count_ends(junction, label, comp=None):
     """Per-component count of degree-2 (endpoint) pixels.
 

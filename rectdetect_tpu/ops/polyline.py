@@ -195,6 +195,16 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
 
     n_slots = px.shape[0]
     slot_ids = jnp.arange(n_slots, dtype=jnp.int32)
+    # packed winner-pixel table: one row gather instead of three
+    # (num <= chain length < 2^24, exact in f32)
+    pxyn = jnp.stack([px, py, num.astype(jnp.float32)], axis=1)
+
+    def _f(x):                       # i32 -> f32 bit pattern (lossless)
+        return jax.lax.bitcast_convert_type(x.astype(jnp.int32),
+                                            jnp.float32)
+
+    def _i(x):                       # f32 bit pattern -> i32
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
 
     def body(_, state):
         a, l = state
@@ -225,9 +235,10 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
                               "min", n_slots)
         has_w = winner < n_slots
         wc = jnp.clip(winner, 0, n_slots - 1)
-        wx = px[wc]
-        wy = py[wc]
-        wn = num[wc]
+        wrows = pxyn[wc]
+        wx = wrows[:, 0]
+        wy = wrows[:, 1]
+        wn = wrows[:, 2].astype(jnp.int32)
 
         # pass2 split conditions (oclpolyline.cl:564-577).
         md = maxdist
@@ -252,23 +263,30 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
                        cap)
         new_count = a.count + jnp.sum(split.astype(jnp.int32))
 
-        def put(arr, val):
-            return arr.at[gn].set(val.astype(arr.dtype), mode="drop")
-
         # new segment gn covers [wn, end]; old g truncates to [start, wn].
-        sx2 = put(a.sx, wx)
-        sy2 = put(a.sy, wy)
-        ex2 = put(a.ex, a.ex)
-        ey2 = put(a.ey, a.ey)
-        sidx2 = put(a.start_index, wn)
-        eidx2 = put(a.end_index, a.end_index)
-        left2 = put(a.left_ptr, seg_id)
-        right2 = put(a.right_ptr, a.right_ptr)
-        polyid2 = put(a.polyid, a.polyid)
-        level2 = put(a.level, md)
-        npix2 = put(a.npix, jnp.zeros_like(a.npix))
-        sc2 = put(a.start_count, jnp.zeros_like(a.start_count))
-        ec2 = put(a.end_count, jnp.zeros_like(a.end_count))
+        # TPU scatters cost per row, so write all 13 fields with ONE row
+        # scatter of a bitcast-packed (cap, 13) matrix instead of 13
+        # scalar scatters (i32 fields move as f32 bit patterns, lossless).
+        zi = jnp.zeros_like(seg_id)
+        cur = jnp.stack(
+            [a.sx, a.sy, a.ex, a.ey, _f(a.start_index), _f(a.end_index),
+             _f(a.left_ptr), _f(a.right_ptr), _f(a.polyid), _f(a.level),
+             _f(a.npix), _f(a.start_count), _f(a.end_count)], axis=1)
+        new = jnp.stack(
+            [wx, wy, a.ex, a.ey, _f(wn), _f(a.end_index), _f(seg_id),
+             _f(a.right_ptr), _f(a.polyid), _f(md), _f(zi), _f(zi),
+             _f(zi)], axis=1)
+        cur = cur.at[gn].set(new, mode="drop")
+        sx2, sy2, ex2, ey2 = (cur[:, 0], cur[:, 1], cur[:, 2], cur[:, 3])
+        sidx2 = _i(cur[:, 4])
+        eidx2 = _i(cur[:, 5])
+        left2 = _i(cur[:, 6])
+        right2 = _i(cur[:, 7])
+        polyid2 = _i(cur[:, 8])
+        level2 = _i(cur[:, 9])
+        npix2 = _i(cur[:, 10])
+        sc2 = _i(cur[:, 11])
+        ec2 = _i(cur[:, 12])
 
         # old right neighbor's left pointer -> gn (oclpolyline.cl:614).
         gr_tgt = jnp.where(split & (a.right_ptr != 0), a.right_ptr, cap)
@@ -463,42 +481,93 @@ def _polyline_tail(strings, sp: int | None, minerror: float,
     """polyline_execute after stringification, at one slot capacity."""
     h, w = strings.shape
 
-    # ONE compaction of the strings foreground, shared by every table op
-    # below (each full-frame prefix-sum/scatter costs ~as much as all the
-    # slot-space work it enables; labels/ends/arcs are subsets of it)
-    comp0 = None
     if sp is not None:
-        from rectdetect_tpu.ops.compact import compact_mask
-        comp0 = compact_mask((strings != 0).reshape(-1), sp)
+        return _polyline_tail_sparse(strings, sp, minerror, size_thre,
+                                     cap, cfg)
 
-    # NOTE: comp-based CCL finalization (label_components(..., comp=))
-    # measured no better than the seeded second flood at 720p — the
-    # two-level path stays the default (see tools/pl_ccl_tune.py)
-    label = label_components(strings, 0, cfg.ccl_passes, cfg.ccl_jumps,
-                             sparse_cap=sp, scan_boost=sp is not None)
+    # Dense reference path (CPU fallback / oracle for the sparse path):
+    # the literal stage sequence of oclpolyline.c:218-309.
+    label = label_components(strings, 0, cfg.ccl_passes, cfg.ccl_jumps)
     jn2 = morphology.simple_junction(strings)
-    nends = count_ends(jn2, label, comp0)
+    nends = count_ends(jn2, label)
     strings, label = break_loops(strings, label, nends)
 
-    number, _, _ = arc_number(label, cfg.number_doublings, sparse_cap=sp,
-                              comp=comp0)
-    arcs = label_arcs(number, cfg.labelpl_passes, cfg.labelpl_jumps,
-                      sparse_cap=sp, scan_boost=sp is not None)
-    if comp0 is not None:
-        from rectdetect_tpu.ops.ccl import filter_relabel_sparse
-        sizes = component_sizes(arcs, ignore=0, comp=comp0)
-        dense, _ = filter_relabel_sparse(arcs, sizes, size_thre, comp0)
-    else:
-        sizes = component_sizes(arcs, ignore=0)
-        filtered = filter_size(arcs, sizes, size_thre)
-        dense, _ = relabel_dense(filtered)
+    number, _, _ = arc_number(label, cfg.number_doublings)
+    arcs = label_arcs(number, cfg.labelpl_passes, cfg.labelpl_jumps)
+    sizes = component_sizes(arcs, ignore=0)
+    filtered = filter_size(arcs, sizes, size_thre)
+    dense, _ = relabel_dense(filtered)
 
-    comp = None
-    if sp is not None:
-        from rectdetect_tpu.ops.compact import compact_subset
-        sp_arc = max(4096, h * w // cfg.arc_sparse_factor)
-        keep = dense.reshape(-1)[jnp.clip(comp0.idx, 0, h * w - 1)] > 0
-        comp = compact_subset(comp0, keep, sp_arc)
+    arena = mkpl_init(dense, number, cap)
+    arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
+                                 cfg.mkpl_iters)
+    arena = refine(arena, lsid)
+    return arena, lsid, None
+
+
+def _polyline_tail_sparse(strings, sp: int, minerror: float,
+                          size_thre: int, cap: int, cfg: PipelineConfig):
+    """Slot-space polyline tail built on ONE walk (chain.arc_chain_sparse).
+
+    On a post-removeBranch map every 8-connected component is a single
+    path or cycle, so the strings CCL, count_ends/break_loops and the
+    labelpl flood (label_arcs) are all derivable from the directed walk:
+    the walk itself breaks cycles (min-visited root), and an arc is
+    exactly {pixels of one chain with number >= 1}, whose labelpl id is
+    the min flat index over those pixels (labelpl merges |dnum| <= 1
+    8-neighbors, oclpolyline.cl:312-355 — along a chain consecutive
+    pixels differ by exactly 1, and distinct chains are never 8-adjacent,
+    so the partition is the chain partition minus heads).  Sizes, the
+    size filter (filterSize, oclpolyline.cl:367-378) and the dense
+    relabel (relabel_pass0/1, :380-420) then reduce over chain heads in
+    slot space — no flood, no full-frame histogram.
+    """
+    from rectdetect_tpu.ops.chain import arc_chain_sparse
+    from rectdetect_tpu.ops.compact import compact_mask, compact_subset
+
+    h, w = strings.shape
+    n = h * w
+    comp0 = compact_mask((strings != 0).reshape(-1), sp)
+    S = comp0.cap
+    p_s = jnp.clip(comp0.idx, 0, n - 1)
+
+    cyc_cap = max(1024, n // cfg.cycle_sparse_factor)
+    number_s, head_s, live = arc_chain_sparse(
+        strings, comp0, cfg.number_doublings, cyc_cap)
+
+    # ---- arc grouping by chain head (replaces label_arcs + calcSize +
+    # filterSize + relabel, all in slot space) ----------------------------
+    fgnum = live & (number_s > 0)
+    head_slot = comp0.slot_of[jnp.clip(head_s, 0, n)]
+    hs_ok = head_slot < S                 # head beyond comp cap: drop arc
+    grp = jnp.where(fgnum & hs_ok, head_slot, S)
+    hsafe = jnp.clip(head_slot, 0, S - 1)
+
+    # labelpl arc id: min flat index over the arc's pixels.
+    arcid_min = jnp.full((S + 1,), n, jnp.int32).at[grp].min(
+        p_s, mode="drop")
+    # arc size: pixel count (the head, number==0, is excluded like
+    # labelpl_preprocess dropping it).
+    sizes_h = jnp.zeros((S + 1,), jnp.int32).at[grp].add(
+        jnp.where(grp < S, 1, 0), mode="drop")
+
+    keep = fgnum & hs_ok & (sizes_h[hsafe] > size_thre)
+    is_root = keep & (p_s == arcid_min[hsafe])
+    rank = jnp.cumsum(is_root.astype(jnp.int32))
+    # dense id of each arc, published at its head slot
+    table = jnp.zeros((S + 1,), jnp.int32).at[
+        jnp.where(is_root, head_slot, S)].max(rank, mode="drop")
+    dense_s = jnp.where(keep, table[hsafe], 0).astype(jnp.int32)
+
+    # materialize the dense/number images mkpl reads through `comp`
+    tgt = jnp.where(live, p_s, n)
+    dense = jnp.zeros((n + 1,), jnp.int32).at[tgt].set(
+        dense_s, mode="drop")[:n].reshape(h, w)
+    number = jnp.zeros((n + 1,), jnp.int32).at[tgt].set(
+        number_s, mode="drop")[:n].reshape(h, w)
+
+    sp_arc = max(4096, n // cfg.arc_sparse_factor)
+    comp = compact_subset(comp0, dense_s > 0, sp_arc)
     arena = mkpl_init(dense, number, cap, comp)
     arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
                                  cfg.mkpl_iters, comp)

@@ -1,0 +1,104 @@
+"""arc_chain_sparse: the one-walk replacement for the polyline stage's
+strings-CCL -> count_ends/break_loops -> arc_number -> label_arcs chain.
+
+The sparse tail must reproduce the dense reference tail EXACTLY
+(ids included) on any scene whose cycles stay off the image border:
+component roots are min flat indices, so the walk's min-visited cycle
+root is the same pixel break_loops kills, and the head-grouped arc ids
+equal labelpl's min-arc-pixel ids (see polyline._polyline_tail_sparse).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from rectdetect_tpu.config import DEFAULT_CONFIG
+from rectdetect_tpu.ops import polyline as tpoly
+
+DENSE = dataclasses.replace(DEFAULT_CONFIG, sparse_factor=0)
+
+
+def _segments(arena):
+    a = {k: np.asarray(v) for k, v in arena._asdict().items()}
+    out = {}
+    for g in range(1, int(a["count"]) + 1):
+        if a["polyid"][g] == 0:
+            continue
+        out[g] = (a["sx"][g], a["sy"][g], a["ex"][g], a["ey"][g],
+                  int(a["start_index"][g]), int(a["end_index"][g]),
+                  int(a["left_ptr"][g]), int(a["right_ptr"][g]))
+    return out
+
+
+def _compare(img, cap=512, minerror=1.0, size_thre=5):
+    edge = jnp.asarray(img.astype(np.int32))
+    a_d, lsid_d = tpoly.polyline_execute(edge, minerror, size_thre, cap,
+                                         DENSE)
+    a_s, lsid_s = tpoly.polyline_execute(edge, minerror, size_thre, cap,
+                                         DEFAULT_CONFIG)
+    assert int(a_d.count) == int(a_s.count)
+    gd, gs = _segments(a_d), _segments(a_s)
+    assert set(gd.keys()) == set(gs.keys())
+    for g in gd:
+        np.testing.assert_allclose(gs[g][:4], gd[g][:4], atol=1e-4,
+                                    err_msg=f"seg {g}")
+        assert gs[g][4:] == gd[g][4:], f"seg {g}"
+    np.testing.assert_array_equal(np.asarray(lsid_s), np.asarray(lsid_d))
+
+
+def test_fixture_scene():
+    # strings incl. an interior loop (same construction as test_polyline)
+    h, w = 40, 56
+    img = np.zeros((h, w), np.int32)
+    for i in range(20):
+        img[3 + i // 2, 4 + i] = 1
+    img[28, 6:30] = 1
+    img[16:29, 6] = 1
+    for i in range(18):
+        img[8 + (i * i) // 40, 30 + i] = 1
+    img[32:38, 40:47] = 1
+    img[33:37, 41:46] = 0
+    img[10, 50:54] = 1
+    _compare(img)
+
+
+def test_many_rings():
+    img = np.zeros((64, 96), np.int32)
+    for cy in range(6, 60, 12):
+        for cx in range(6, 90, 14):
+            img[cy, cx:cx + 8] = 1
+            img[cy + 6, cx:cx + 8] = 1
+            img[cy:cy + 7, cx] = 1
+            img[cy:cy + 7, cx + 7] = 1
+    _compare(img, cap=1024, size_thre=3)
+
+
+def test_random_noise_interior():
+    r = np.random.default_rng(7)
+    for seed in range(3):
+        img = (np.random.default_rng(seed).random((72, 104)) < 0.3)
+        img = img.astype(np.int32)
+        img[0, :] = img[-1, :] = 0      # keep cycles off the border
+        img[:, 0] = img[:, -1] = 0
+        _compare(img, cap=2048, size_thre=4)
+    del r
+
+
+def test_border_ring_runs():
+    """Cycles touching the border split at the border pixel instead of
+    the component root (documented deviation) — must run cleanly and
+    produce a valid single chain over the same pixels."""
+    img = np.zeros((32, 48), np.int32)
+    img[0, 10:26] = 1
+    img[8, 10:26] = 1
+    img[0:9, 10] = 1
+    img[0:9, 25] = 1
+    edge = jnp.asarray(img)
+    arena, lsid = tpoly.polyline_execute(edge, 1.0, 5, 256, DEFAULT_CONFIG)
+    segs = _segments(arena)
+    assert len(segs) >= 1
+    # every live segment's endpoints lie on the drawn ring
+    for g, s in segs.items():
+        for (x, y) in ((s[0], s[1]), (s[2], s[3])):
+            assert img[int(round(y)), int(round(x))] == 1

@@ -2,6 +2,9 @@
 tools/full_bisect.py).  Input strong-edge binaries come from the real
 pipeline front so densities are authentic.
 
+Mirrors ops/polyline._polyline_tail_sparse (the one-walk tail: no strings
+CCL, no labelpl flood — see chain.arc_chain_sparse).
+
 Usage: python tools/pl_bisect.py [HxW] [N]
 """
 
@@ -33,7 +36,7 @@ def main():
     from rectdetect_tpu.config import DEFAULT_CONFIG as cfg
     from rectdetect_tpu.ops import ccl, morphology
     from rectdetect_tpu.ops import polyline as P
-    from rectdetect_tpu.ops.chain import count_ends, break_loops, arc_number
+    from rectdetect_tpu.ops.chain import arc_chain_sparse
     from rectdetect_tpu.pipeline.frontend import edge_frontend
     from bench import synth_frame
 
@@ -65,52 +68,57 @@ def main():
 
     def upto(eb, stop: int):
         from rectdetect_tpu.ops.compact import compact_mask, compact_subset
-        from rectdetect_tpu.ops.ccl import filter_relabel_sparse
         strings = morphology.strings_chain(eb, "poly_branch")
         comp0 = compact_mask((strings != 0).reshape(-1), sp)
         if stop == 0:
             return strings.sum() + comp0.n
-        label = P.label_components(strings, 0, cfg.ccl_passes,
-                                   cfg.ccl_jumps, sparse_cap=sp,
-                                   scan_boost=sp is not None, comp=comp0)
+        nimg = h * w
+        S = comp0.cap
+        p_s = jnp.clip(comp0.idx, 0, nimg - 1)
+        cyc_cap = max(1024, nimg // cfg.cycle_sparse_factor)
+        number_s, head_s, live = arc_chain_sparse(
+            strings, comp0, cfg.number_doublings, cyc_cap)
         if stop == 1:
-            return label.sum()
-        jn2 = morphology.simple_junction(strings)
-        nends = count_ends(jn2, label, comp0)
-        strings2, label2 = break_loops(strings, label, nends)
+            return number_s.sum() + head_s.sum()
+        fgnum = live & (number_s > 0)
+        head_slot = comp0.slot_of[jnp.clip(head_s, 0, nimg)]
+        hs_ok = head_slot < S
+        grp = jnp.where(fgnum & hs_ok, head_slot, S)
+        hsafe = jnp.clip(head_slot, 0, S - 1)
+        arcid_min = jnp.full((S + 1,), nimg, jnp.int32).at[grp].min(
+            p_s, mode="drop")
+        sizes_h = jnp.zeros((S + 1,), jnp.int32).at[grp].add(
+            jnp.where(grp < S, 1, 0), mode="drop")
+        keep = fgnum & hs_ok & (sizes_h[hsafe] > cfg.size_thre_rect)
+        is_root = keep & (p_s == arcid_min[hsafe])
+        rank = jnp.cumsum(is_root.astype(jnp.int32))
+        table = jnp.zeros((S + 1,), jnp.int32).at[
+            jnp.where(is_root, head_slot, S)].max(rank, mode="drop")
+        dense_s = jnp.where(keep, table[hsafe], 0).astype(jnp.int32)
         if stop == 2:
-            return label2.sum()
-        number, _, _ = arc_number(label2, cfg.number_doublings,
-                                  comp=comp0)
+            return dense_s.sum()
+        tgt = jnp.where(live, p_s, nimg)
+        dense = jnp.zeros((nimg + 1,), jnp.int32).at[tgt].set(
+            dense_s, mode="drop")[:nimg].reshape(h, w)
+        number = jnp.zeros((nimg + 1,), jnp.int32).at[tgt].set(
+            number_s, mode="drop")[:nimg].reshape(h, w)
         if stop == 3:
-            return number.sum()
-        arcs = P.label_arcs(number, cfg.labelpl_passes, cfg.labelpl_jumps,
-                            sparse_cap=sp, scan_boost=sp is not None,
-                            comp=comp0)
-        if stop == 4:
-            return arcs.sum()
-        sizes = P.component_sizes(arcs, ignore=0, comp=comp0)
-        dense, _ = filter_relabel_sparse(arcs, sizes, cfg.size_thre_rect,
-                                         comp0)
-        if stop == 5:
-            return dense.sum()
-        sp_arc = max(4096, h * w // cfg.arc_sparse_factor)
-        keep = dense.reshape(-1)[jnp.clip(comp0.idx, 0, h * w - 1)] > 0
-        comp = compact_subset(comp0, keep, sp_arc)
+            return dense.sum() + number.sum()
+        sp_arc = max(4096, nimg // cfg.arc_sparse_factor)
+        comp = compact_subset(comp0, dense_s > 0, sp_arc)
         arena = P.mkpl_init(dense, number, cap, comp)
-        if stop == 6:
+        if stop == 4:
             return arena.sx.sum()
         arena, lsid = P.mkpl_subdivide(arena, dense, number,
                                        cfg.minerror_rect, cfg.mkpl_iters,
                                        comp)
-        if stop == 7:
+        if stop == 5:
             return arena.sx.sum() + lsid.sum()
         arena = P.refine(arena, lsid, comp)
         return arena.sx.sum() + lsid.sum()
 
-    names = ["strings", "+ccl", "+break_loops", "+arc_number",
-             "+label_arcs", "+size/relabel", "+mkpl_init",
-             "+mkpl_subdivide", "+refine (full)"]
+    names = ["strings", "+arc_chain", "+group/relabel", "+images",
+             "+mkpl_init", "+mkpl_subdivide", "+refine (full)"]
     prev = 0.0
     for stop, name in enumerate(names):
         f = jax.jit(lambda e, s=stop: upto(e, s))
