@@ -232,11 +232,13 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int):
         partial numbering (the reference degrades identically past its
         fixed-hop reach, oclpolyline.cl:287-310).
 
-    Returns (number_s, head_s, live) over comp slots:
+    Returns (number_s, head_s, live, cyc) over comp slots:
       number_s: (S,) int32 arc index (0 at heads/cycle roots/background)
       head_s:   (S,) int32 flat pixel index of the chain head (valid
                 where number_s > 0)
       live:     (S,) bool slot validity
+      cyc:      (S,) bool pixel sits on a cycle (calibration signal for
+                cycle_sparse_factor)
     """
     h, w = strings.shape
     n = h * w
@@ -346,7 +348,7 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int):
     tgt = jnp.where(sub_live, sub_idx, S)         # index S drops (OOB)
     number_s = number_s.at[tgt].set(numb, mode="drop")
     head_s = head_s.at[tgt].set(headb, mode="drop")
-    return number_s, head_s, live
+    return number_s, head_s, live, cyc
 
 
 def count_ends(junction, label, comp=None):

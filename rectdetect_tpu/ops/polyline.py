@@ -532,7 +532,7 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
     p_s = jnp.clip(comp0.idx, 0, n - 1)
 
     cyc_cap = max(1024, n // cfg.cycle_sparse_factor)
-    number_s, head_s, live = arc_chain_sparse(
+    number_s, head_s, live, _ = arc_chain_sparse(
         strings, comp0, cfg.number_doublings, cyc_cap)
 
     # ---- arc grouping by chain head (replaces label_arcs + calcSize +

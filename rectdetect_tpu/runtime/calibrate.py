@@ -43,24 +43,36 @@ def _densities(bgr_frames, cfg: PipelineConfig):
 
     @jax.jit
     def stats(bgr):
+        from rectdetect_tpu.ops import morphology
+        from rectdetect_tpu.ops.chain import arc_chain_sparse
+        from rectdetect_tpu.ops.compact import compact_mask
         st = prect.rect_stage_images(bgr, dense_cfg)
         strings_d = jnp.mean((st["weak_labels"] != 0).astype(jnp.float32))
         boundary_d = jnp.mean((st["boundary"] >= 0).astype(jnp.float32))
         arcs_d = jnp.mean((st["lsid"] > 0).astype(jnp.float32))
         n_arcs = jnp.max(st["lsid"])
         edge_d = jnp.mean((st["edge_thin"] > 0).astype(jnp.float32))
-        return edge_d, strings_d, boundary_d, arcs_d, n_arcs
+        # cycle pixels among the polyline strings (cycle_sparse_factor)
+        strong_bin = (st["strong_labels"] > 0).astype(jnp.int32)
+        strings = morphology.strings_chain(strong_bin, "poly_branch")
+        hw = strings.shape[0] * strings.shape[1]
+        comp = compact_mask((strings != 0).reshape(-1), max(4096, hw // 2))
+        _, _, _, cyc = arc_chain_sparse(strings, comp,
+                                        cfg.number_doublings, 4096)
+        cyc_d = jnp.sum(cyc.astype(jnp.float32)) / hw
+        return edge_d, strings_d, boundary_d, arcs_d, n_arcs, cyc_d
 
-    edge_d = strings_d = boundary_d = arcs_d = 0.0
+    edge_d = strings_d = boundary_d = arcs_d = cyc_d = 0.0
     arcs = 0
     for f in bgr_frames:
-        e, s, b, a, n = stats(f)
+        e, s, b, a, n, c = stats(f)
         edge_d = max(edge_d, float(e))
         strings_d = max(strings_d, float(s))
         boundary_d = max(boundary_d, float(b))
         arcs_d = max(arcs_d, float(a))
         arcs = max(arcs, int(n))
-    return edge_d, strings_d, boundary_d, arcs_d, arcs
+        cyc_d = max(cyc_d, float(c))
+    return edge_d, strings_d, boundary_d, arcs_d, arcs, cyc_d
 
 
 def _key(device_kind: str, h: int, w: int) -> str:
@@ -73,8 +85,8 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     persist, and return the calibrated config."""
     import jax
     h, w = np.asarray(bgr_frames[0]).shape[:2]
-    edge_d, strings_d, boundary_d, arcs_d, arcs = _densities(bgr_frames,
-                                                             cfg)
+    (edge_d, strings_d, boundary_d, arcs_d, arcs,
+     cyc_d) = _densities(bgr_frames, cfg)
 
     def factor_for(density, cap=64):
         d = min(max(density * MARGIN, 1e-4), 1.0)
@@ -91,6 +103,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
             40, int(1.0 / min(max(strings_d * 1.5, 1e-4), 1.0)))),
         boundary_sparse_factor=factor_for(boundary_d, cap=32),
         arc_sparse_factor=factor_for(arcs_d, cap=128),
+        cycle_sparse_factor=factor_for(cyc_d, cap=256),
         ls_capacity=int(min(max(arcs * 4 * MARGIN, 4096), 262144)),
     )
     dev = jax.devices()[0].device_kind
@@ -100,6 +113,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         "strings_small_factor": str(new.strings_small_factor),
         "boundary_sparse_factor": str(new.boundary_sparse_factor),
         "arc_sparse_factor": str(new.arc_sparse_factor),
+        "cycle_sparse_factor": str(new.cycle_sparse_factor),
         "ls_capacity": str(new.ls_capacity),
     })
     return new
@@ -126,5 +140,7 @@ def load_calibrated_config(h: int, w: int,
             "boundary_sparse_factor", cfg.boundary_sparse_factor)),
         arc_sparse_factor=int(entries.get("arc_sparse_factor",
                                           cfg.arc_sparse_factor)),
+        cycle_sparse_factor=int(entries.get("cycle_sparse_factor",
+                                            cfg.cycle_sparse_factor)),
         ls_capacity=int(entries.get("ls_capacity", cfg.ls_capacity)),
     )

@@ -76,7 +76,7 @@ def main():
         S = comp0.cap
         p_s = jnp.clip(comp0.idx, 0, nimg - 1)
         cyc_cap = max(1024, nimg // cfg.cycle_sparse_factor)
-        number_s, head_s, live = arc_chain_sparse(
+        number_s, head_s, live, _ = arc_chain_sparse(
             strings, comp0, cfg.number_doublings, cyc_cap)
         if stop == 1:
             return number_s.sum() + head_s.sum()
