@@ -221,9 +221,13 @@ def _pass_kernel(packed_ref, edge_ref, ecross_ref, out_ref, *,
 # ~25 live i32 block-sized temporaries have to fit the 16 MB VMEM scoped
 # stack; budget block elements accordingly (measured: 64x1280 blocks =
 # 0.33 MB/array fit comfortably, 256-col x 720 = 0.7 MB/array did not).
-# (the 128-lane minimum makes very tall frames exceed budget on the V
-# pass — >1440p needs a transpose-and-reuse-H-kernel variant)
+# The 128-lane minimum makes frames taller than _TALL_H exceed budget on
+# the V pass; those run the V pass as the H kernel on transposed inputs
+# (exact by symmetry: the pass math swaps rows/cols wholesale, and the
+# cross map e_right transposes to the down-shift of e^T the H kernel
+# expects).
 _BLOCK_ELEMS = 64 * 1280
+_TALL_H = 1280
 
 
 def _one_pass(packed, edge, ecross, horizontal: bool, block: int,
@@ -262,7 +266,14 @@ def blblur_pallas_blocked(packed, edge, iters: int = 10, block: int = 128):
     # y<ih-1 / x<iw-1 guards of oclrect.cl:166/186)
     e_down = jnp.zeros_like(e).at[:h - 1, :].set(e[1:, :])
     e_right = jnp.zeros_like(e).at[:, :w - 1].set(e[:, 1:])
+    tall = h > _TALL_H
+    if tall:
+        e_t = e.T
+        e_right_t = e_right.T         # == down-shift of e.T
     for _ in range(iters):
         p = _one_pass(p, e, e_down, True, block, interpret)
-        p = _one_pass(p, e, e_right, False, block, interpret)
+        if tall:
+            p = _one_pass(p.T, e_t, e_right_t, True, block, interpret).T
+        else:
+            p = _one_pass(p, e, e_right, False, block, interpret)
     return p

@@ -36,6 +36,24 @@ def test_pallas_blblur_blocked_bit_exact():
     np.testing.assert_array_equal(a, b)
 
 
+def test_pallas_blblur_blocked_tall_transposed():
+    """Frames taller than _TALL_H run the V pass as the H kernel on
+    transposed inputs — must stay bit-exact (shape chosen to avoid the
+    jit cache of the untransposed test)."""
+    import rectdetect_tpu.ops.pallas_blblur as B
+    packed, edge = make_scene(h=48, w=40)
+    p = jnp.asarray(packed.astype(np.int32))
+    e = jnp.asarray(edge.astype(np.int32))
+    a = np.asarray(regions.blblur(p, e, 10))
+    old = B._TALL_H
+    B._TALL_H = 16
+    try:
+        b = np.asarray(B.blblur_pallas_blocked(p, e, 10, block=16))
+    finally:
+        B._TALL_H = old
+    np.testing.assert_array_equal(a, b)
+
+
 def _rand_edge(h, w, seed=0, p=0.3):
     r = np.random.default_rng(seed)
     return (r.random((h, w)) < p).astype(np.int32)
