@@ -85,6 +85,29 @@ def test_random_noise_interior():
     del r
 
 
+def test_long_snake_degrades_deterministically():
+    """A chain longer than 2^number_doublings px must not crash or emit
+    inconsistent arcs; the walk degrades to deterministic partial
+    numbering (the reference degrades identically past its fixed-hop
+    reach, oclpolyline.cl:287-310)."""
+    import dataclasses as dc
+    cfg = dc.replace(DEFAULT_CONFIG, number_doublings=8)  # reach 256 px
+    img = np.zeros((40, 120), np.int32)
+    for r in range(2, 38, 4):                      # ~1100-px serpentine
+        img[r, 2:118] = 1
+        if r + 4 < 38:
+            img[r:r + 5, 117 if (r // 4) % 2 == 0 else 2] = 1
+    edge = jnp.asarray(img)
+    a1, l1 = tpoly.polyline_execute(edge, 1.0, 5, 512, cfg)
+    a2, l2 = tpoly.polyline_execute(edge, 1.0, 5, 512, cfg)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    for k in ("sx", "sy", "ex", "ey", "polyid"):
+        np.testing.assert_array_equal(np.asarray(getattr(a1, k)),
+                                      np.asarray(getattr(a2, k)))
+    # with full reach the same scene is id-exact vs dense
+    _compare(img, cap=512)
+
+
 def test_border_ring_runs():
     """Cycles touching the border split at the border pixel instead of
     the component root (documented deviation) — must run cleanly and
