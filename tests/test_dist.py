@@ -110,3 +110,71 @@ def test_rect_step_tiled_matches_single_chip():
     both = rv & gv
     np.testing.assert_allclose(np.asarray(got.c2)[both],
                                np.asarray(ref.c2)[both], atol=2.0)
+
+
+def test_stream_supervisor_failover():
+    """StreamSupervisor quarantines a dying device, drops its in-flight
+    frames, and re-places its streams on survivors (SURVEY.md §5
+    failure-detection row)."""
+    from rectdetect_tpu.dist.stream import StreamSupervisor
+
+    devices = jax.devices()[:4]
+    dead = set()
+
+    def run_fn(bgr, device):
+        if device in (devices[i] for i in dead):
+            raise RuntimeError("injected device loss")
+        return jax.device_put(jnp.asarray(bgr).sum(), device)
+
+    def read_fn(res):
+        return float(res)
+
+    sup = StreamSupervisor(devices=devices, run_fn=run_fn, read_fn=read_fn)
+    frames = [np.full((4, 4), i, np.uint8) for i in range(8)]
+
+    # 8 streams spread over 4 devices, 2 each
+    for sid in range(8):
+        assert sup.submit(sid, frames[sid])
+    loads = {}
+    for sid, di in sup._assign.items():
+        loads[di] = loads.get(di, 0) + 1
+    assert loads == {0: 2, 1: 2, 2: 2, 3: 2}
+    victims = [sid for sid, di in sup._assign.items() if di == 2]
+
+    # kill device 2 mid-service: its next submit quarantines and retries
+    dead.add(2)
+    sup.collect(victims[0])                          # drain frame slot
+    assert sup.submit(victims[0], frames[0])         # retried elsewhere
+    assert sup.failures and sup.failures[0][0] == 2
+    assert devices[2] not in sup.healthy_devices
+    # in-flight frames of the dead device are dropped
+    assert sup.collect(victims[1]) is None
+    # both victims keep being served on survivors
+    assert sup.submit(victims[1], frames[1])
+    assert sup.collect(victims[1]) == float(np.asarray(frames[1]).sum())
+    for sid in range(8):
+        if sid not in victims:
+            assert sup.collect(sid) == float(np.asarray(frames[sid]).sum())
+    assert all(di != 2 for di in sup._assign.values())
+
+
+def test_stream_supervisor_backpressure_and_exhaustion():
+    from rectdetect_tpu.dist.stream import StreamSupervisor
+
+    devices = jax.devices()[:2]
+
+    def run_fn(bgr, device):
+        raise RuntimeError("all devices broken")
+
+    sup = StreamSupervisor(devices=devices, run_fn=run_fn,
+                           read_fn=lambda r: r)
+    assert not sup.submit("s", np.zeros((2, 2), np.uint8))
+    with pytest.raises(RuntimeError, match="no healthy devices"):
+        sup.submit("s", np.zeros((2, 2), np.uint8))
+
+    ok = StreamSupervisor(devices=jax.devices()[:1],
+                          run_fn=lambda b, d: b, read_fn=lambda r: r,
+                          max_in_flight=1)
+    assert ok.submit("s", 1)
+    assert not ok.submit("s", 2)      # back-pressure: queue full
+    assert ok.collect("s") == 1
