@@ -200,3 +200,48 @@ def thinthres(edge_img, vec):
             if am1 <= a0 and a0 >= ap1:
                 out[y, x] = am2 + am1 + a0 + ap1 + ap2
     return out
+
+
+def srgb2plab_exact(bgr):
+    """Loop-level mirror of the reference's fixed-point LUT conversion
+    (srgb2plab, oclimgutil.cl:106-134), tables from core/luts.py."""
+    from rectdetect_tpu.core.luts import (cfunc2_table, cfunc_table,
+                                          s2l_table)
+    s2l = s2l_table().astype(np.int64)
+    cfunc = cfunc_table().astype(np.int64)
+    cfunc2 = cfunc2_table().astype(np.int64)
+    h, w, _ = bgr.shape
+    out = np.zeros((h, w), np.int32)
+
+    def k(c):
+        return int(c * 16384 + 0.5)
+
+    kxn = int(32768 / 0.950456 + 0.5)
+    kzn = int(32768 / 1.088754 + 0.5)
+
+    def interp(tbl, c):
+        return tbl[c >> 8] * (256 - (c & 255)) + tbl[(c >> 8) + 1] * (c & 255)
+
+    for y in range(h):
+        for x in range(w):
+            ib, ig, ir = (int(s2l[bgr[y, x, 0]]), int(s2l[bgr[y, x, 1]]),
+                          int(s2l[bgr[y, x, 2]]))
+            cx = ((((ir * k(0.412453) + ig * k(0.357580) + ib * k(0.180423)
+                     + (1 << 14)) >> 15) * kxn) + (1 << 10)) >> 11
+            cy = ((ir * k(0.212671) + ig * k(0.715160) + ib * k(0.072169))
+                  + (1 << 10)) >> 11
+            cz = ((((ir * k(0.019334) + ig * k(0.119193) + ib * k(0.950227)
+                     + (1 << 14)) >> 15) * kzn) + (1 << 10)) >> 11
+            cl = ((int(interp(cfunc2, cy)) >> 12) + 1) >> 1
+            fx = int(interp(cfunc, cx))
+            fy = int(interp(cfunc, cy))
+            fz = int(interp(cfunc, cz))
+            fxy = (fx - fy + (1 << 7)) >> 8
+            fyz = (fy - fz + (1 << 7)) >> 8
+            ca = (fxy * 8031 + (134744072 + (1 << 17))) >> 18
+            cb = (fyz * 3213 + (134744072 + (1 << 17))) >> 18
+            v = ((min(max(cb, 0), 1023) << 22)
+                 | (min(max(ca, 0), 1023) << 12)
+                 | min(max(cl, 0), 4095))
+            out[y, x] = v - (1 << 32) if v >= (1 << 31) else v
+    return out

@@ -17,6 +17,10 @@ import dataclasses
 class PipelineConfig:
     # ---- edge front-end -------------------------------------------------
     blur_radius: int = 2          # reference runs iirblur with r=2 (oclrect.c:248)
+    # bit-parity mode: use the reference's fixed-point LUT sRGB->packed-Lab
+    # conversion (srgb2plab, regenerated tables — core/luts.py) instead of
+    # the closed form (<=0.4% scale difference, docs/STATUS.md)
+    color_exact: bool = False
     # ---- connected component labeling (fixed trip counts, ref values) ---
     # The reference runs MAXPASS=10 passes x 6 jumps (oclimgutil.c:229,
     # oclimgutil.cl:531).  With the row/column scan flood each pass is

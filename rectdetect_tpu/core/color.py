@@ -103,6 +103,60 @@ def quantize_labf(labf):
     return (q + 0.5) / scale
 
 
+def bgr_to_packed_exact(bgr_u8):
+    """(H,W,3) BGR uint8 -> packed int32, BIT-IDENTICAL to the reference's
+    fixed-point LUT conversion (srgb2plab, oclimgutil.cl:106-134; tables
+    regenerated from the sRGB/CIELAB formulas, core/luts.py).
+
+    This is the `color_exact` parity path: closed-form bgr_to_labf +
+    pack_lab lands on the same 12/10/10 lattice within <=0.4% but not
+    bit-identically.  Cost: per-pixel gathers into the three small LUTs —
+    fine for parity runs, slower than the fused closed form in
+    production."""
+    from rectdetect_tpu.core.luts import (cfunc2_table, cfunc_table,
+                                          s2l_table)
+    s2l = jnp.asarray(s2l_table())
+    cfunc = jnp.asarray(cfunc_table())
+    cfunc2 = jnp.asarray(cfunc2_table())
+
+    b = bgr_u8[..., 0].astype(jnp.int32)
+    g = bgr_u8[..., 1].astype(jnp.int32)
+    r = bgr_u8[..., 2].astype(jnp.int32)
+    ir = jnp.take(s2l, r)
+    ig = jnp.take(s2l, g)
+    ib = jnp.take(s2l, b)
+
+    def k(c):                        # (int)(coef * 16384 + 0.5)
+        return int(c * 16384 + 0.5)
+
+    kxn = int(32768 / _XN + 0.5)
+    kzn = int(32768 / _ZN + 0.5)
+    cx = ((((ir * k(0.412453) + ig * k(0.357580) + ib * k(0.180423)
+             + (1 << 14)) >> 15) * kxn) + (1 << 10)) >> 11
+    cy = ((ir * k(0.212671) + ig * k(0.715160) + ib * k(0.072169))
+          + (1 << 10)) >> 11
+    cz = ((((ir * k(0.019334) + ig * k(0.119193) + ib * k(0.950227)
+             + (1 << 14)) >> 15) * kzn) + (1 << 10)) >> 11
+
+    def interp(tbl, c):
+        hi = c >> 8
+        frac = c & 255
+        return (jnp.take(tbl, hi) * (256 - frac)
+                + jnp.take(tbl, hi + 1) * frac)
+
+    cl = ((interp(cfunc2, cy) >> 12) + 1) >> 1
+    fx = interp(cfunc, cx)
+    fy = interp(cfunc, cy)
+    fz = interp(cfunc, cz)
+    fxy = (fx - fy + (1 << 7)) >> 8
+    fyz = (fy - fz + (1 << 7)) >> 8
+    # 8031/3213 and 134744072 are the reference's a*/b* fixed-point
+    # rescale literals (oclimgutil.cl:126-127)
+    ca = (fxy * 8031 + (134744072 + (1 << 17))) >> 18
+    cb = (fyz * 3213 + (134744072 + (1 << 17))) >> 18
+    return pack_lab_int(cl, ca, cb)
+
+
 def pack_lab(labf):
     """(...,3) normalized Lab floats -> packed int32 (b<<22 | a<<12 | L)."""
     cl = jnp.clip(jnp.floor(labf[..., 0] * 4096.0), 0, 4095).astype(jnp.int32)

@@ -29,9 +29,15 @@ class EdgeFrontend(NamedTuple):
 
 
 def edge_frontend(bgr, cfg: PipelineConfig = DEFAULT_CONFIG) -> EdgeFrontend:
-    lab = color.bgr_to_labf(bgr)
-    labq = color.quantize_labf(lab)          # = unpack(pack(lab)) centers
-    packed0 = color.pack_lab(lab)
+    if cfg.color_exact:
+        # bit-parity mode: the reference's fixed-point LUT conversion
+        # (srgb2plab) feeds the whole chain (core/color.py)
+        packed0 = color.bgr_to_packed_exact(bgr)
+        labq = color.unpack_labf(packed0)
+    else:
+        lab = color.bgr_to_labf(bgr)
+        labq = color.quantize_labf(lab)      # = unpack(pack(lab)) centers
+        packed0 = color.pack_lab(lab)
     labb = jnp.stack([blur.gaussian_blur(labq[..., c], cfg.blur_radius)
                       for c in range(3)], axis=-1)
     import jax

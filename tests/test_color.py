@@ -51,3 +51,70 @@ def test_bgr_roundtrip_close(scene):
     err = np.abs(back - scene.astype(np.int32))
     assert np.median(err) <= 1.0
     assert err.mean() < 2.5
+
+
+def test_lut_generators_spot_values():
+    """The regenerated fixed-point tables must hit the reference's
+    embedded values (spot set verified against oclimgutil.cl:661-898)."""
+    from rectdetect_tpu.core.luts import (cfunc2_table, cfunc_table,
+                                          s2l_table)
+    s2l, cfunc, cfunc2 = s2l_table(), cfunc_table(), cfunc2_table()
+    assert s2l.shape == (261,) and cfunc.shape == (1031,) \
+        and cfunc2.shape == (1031,)
+    assert [int(s2l[i]) for i in (0, 1, 16, 100, 255, 260)] == \
+        [0, 9, 169, 4175, 32768, 34248]
+    assert [int(cfunc[i]) for i in (0, 1, 16, 100, 255, 1024)] == \
+        [0, 499, 7345, 21141, 32192, 56497]
+    assert [int(cfunc2[i]) for i in (0, 1, 16, 100, 255, 1023)] == \
+        [0, 453, 6682, 19233, 29288, 51381]
+    assert np.all(np.diff(s2l) >= 0) and np.all(np.diff(cfunc) >= 0)
+
+
+def test_exact_packed_matches_golden():
+    from golden.imgutil import srgb2plab_exact
+    r = np.random.default_rng(11)
+    bgr = r.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    gold = srgb2plab_exact(bgr)
+    got = np.asarray(C.bgr_to_packed_exact(jnp.asarray(bgr)))
+    np.testing.assert_array_equal(got, gold)
+    # extremes
+    for v in (0, 255):
+        one = np.full((2, 2, 3), v, np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(C.bgr_to_packed_exact(jnp.asarray(one))),
+            srgb2plab_exact(one))
+
+
+def test_exact_packed_close_to_closed_form():
+    """The closed-form production path sits on the same lattice within
+    the documented <=0.4% scale deviation (docs/STATUS.md)."""
+    r = np.random.default_rng(3)
+    bgr = jnp.asarray(r.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+    exact = C.unpack_labf(C.bgr_to_packed_exact(bgr))
+    closed = C.unpack_labf(C.pack_lab(C.bgr_to_labf(bgr)))
+    d = np.abs(np.asarray(exact) - np.asarray(closed))
+    assert d.max() < 0.008          # lattice quantum 1/1024 + 0.4% scale
+
+
+def test_color_exact_pipeline_detects():
+    """color_exact mode runs the full pipeline end to end and still
+    finds the synthetic quad (geometry within a pixel of default mode)."""
+    import dataclasses
+    import math
+    from rectdetect_tpu.config import DEFAULT_CONFIG
+    from rectdetect_tpu.pipeline import rect as prect
+
+    r = np.random.default_rng(5)
+    bgr = np.full((96, 128, 3), 70, np.uint8)
+    bgr[20:70, 30:100] = (180, 160, 60)
+    bgr = (bgr.astype(np.int16)
+           + r.integers(-3, 4, bgr.shape, dtype=np.int16)).clip(
+               0, 255).astype(np.uint8)
+    tan = math.tan(math.radians(72) / 2)
+    cfg_x = dataclasses.replace(DEFAULT_CONFIG, color_exact=True)
+    got = prect.live_rects(prect.rect_frame(jnp.asarray(bgr), tan, cfg_x))
+    ref = prect.live_rects(prect.rect_frame(jnp.asarray(bgr), tan))
+    assert got and ref
+    a = np.sort(np.asarray(got[0]["c2"]), axis=0)
+    b = np.sort(np.asarray(ref[0]["c2"]), axis=0)
+    np.testing.assert_allclose(a, b, atol=1.5)
