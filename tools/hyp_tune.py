@@ -139,6 +139,18 @@ def main():
     t = amortized(pm, [(t_[6], t_[8], tb) for t_, tb in zip(ins, tabs)], n)
     print(f"probe_membership      {t*1000:9.2f} ms", flush=True)
 
+    ms_in = [jax.device_put(np.asarray(pm(t_[6], t_[8], tb)))
+             for t_, tb in zip(ins, tabs)]
+    mk = jax.jit(lambda m: prect._members_from_matrix(
+        m, cfg.max_groups, cfg.max_group_segs))
+    t = amortized(mk, [(m,) for m in ms_in], n)
+    print(f"members top_k         {t*1000:9.2f} ms", flush=True)
+
+    cm = jax.jit(lambda a: reduce_ls.chain_membership(
+        a, cfg.max_groups, cfg.ls_min_len_polyline))
+    t = amortized(cm, [(t_[8],) for t_ in ins], n)
+    print(f"chain_membership      {t*1000:9.2f} ms", flush=True)
+
     hyp = jax.jit(lambda a, l, b, c: prect._hypotheses(a, l, b, w, h, cfg,
                                                        comp=c))
     t = amortized(hyp, [(t_[8], t_[7], t_[6], t_[9]) for t_ in ins], n)
