@@ -59,7 +59,8 @@ def _scan_flood(label_flat, pix, bgc, sent, h, w):
 
 def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
                      compress: bool = True, sparse_cap: int | None = None,
-                     scan_boost: bool = False, comp=None):
+                     scan_boost: bool = False, comp=None,
+                     force_xla: bool = False):
     """8-connected CCL over equal pixel values; background bgc -> label -1.
 
     pix: (H, W) int32.  Returns (H, W) int32 labels = min flat index of the
@@ -78,7 +79,7 @@ def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
     budget here leaves ~0.6% of pixels unconverged on dense noise), so
     the pass/jump/capacity knobs only shape the CPU/testing path.
     """
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not force_xla:
         from rectdetect_tpu.ops.pallas_ccl import label_components_exact
         return label_components_exact(pix, bgc, comp=comp)
     h, w = pix.shape
