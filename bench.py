@@ -45,6 +45,11 @@ def main():
 
     h, w = 720, 1280
     n_iter = 10
+    # loadPlan analog (rect.cpp:86): apply the persisted per-device
+    # capacity calibration when one exists (tools/calibrate_bench.py
+    # writes it); silently defaults otherwise
+    from rectdetect_tpu.runtime.calibrate import load_calibrated_config
+    cfg = load_calibrated_config(h, w)
     # pre-upload distinct frames (vidrect overlaps transfers with compute;
     # on relay-tunneled devices host<->device bandwidth is not the metric)
     frames = [jax.device_put(synth_frame(h, w, seed=s)) for s in range(2)]
@@ -54,12 +59,12 @@ def main():
 
     # warmup/compile; the tiny readback forces true completion (on some
     # remote transports block_until_ready acks before execution finishes)
-    res = rect_frame(frames[0], tan_aov)
+    res = rect_frame(frames[0], tan_aov, cfg)
     np.asarray(res.value)[:1]
 
     t0 = time.perf_counter()
     for i in range(n_iter):
-        res = rect_frame(frames[i % 2], tan_aov)
+        res = rect_frame(frames[i % 2], tan_aov, cfg)
     np.asarray(res.value)[:1]   # single readback drains the in-order queue
     dt = (time.perf_counter() - t0) / n_iter
     fps = 1.0 / dt

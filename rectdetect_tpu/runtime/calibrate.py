@@ -47,32 +47,41 @@ def _densities(bgr_frames, cfg: PipelineConfig):
         from rectdetect_tpu.ops.chain import arc_chain_sparse
         from rectdetect_tpu.ops.compact import compact_mask
         st = prect.rect_stage_images(bgr, dense_cfg)
-        strings_d = jnp.mean((st["weak_labels"] != 0).astype(jnp.float32))
         boundary_d = jnp.mean((st["boundary"] >= 0).astype(jnp.float32))
         arcs_d = jnp.mean((st["lsid"] > 0).astype(jnp.float32))
         n_arcs = jnp.max(st["lsid"])
         edge_d = jnp.mean((st["edge_thin"] > 0).astype(jnp.float32))
-        # cycle pixels among the polyline strings (cycle_sparse_factor)
+        # sparse_factor compacts the rect-variant stringified map (the
+        # weak-CCL instance + strength filters, pipeline/rect.py) — its
+        # actual density, not a proxy
+        edge_bin = (st["edge_thin"] > 0).astype(jnp.int32)
+        srect = morphology.strings_chain(edge_bin, "rect")
+        rect_strings_d = jnp.mean((srect != 0).astype(jnp.float32))
+        # strings_sparse_factor compacts the polyline strings (post
+        # removeBranch, ~half the rect-variant density)
         strong_bin = (st["strong_labels"] > 0).astype(jnp.int32)
         strings = morphology.strings_chain(strong_bin, "poly_branch")
+        strings_d = jnp.mean((strings != 0).astype(jnp.float32))
         hw = strings.shape[0] * strings.shape[1]
         comp = compact_mask((strings != 0).reshape(-1), max(4096, hw // 2))
         _, _, _, cyc = arc_chain_sparse(strings, comp,
                                         cfg.number_doublings, 4096)
         cyc_d = jnp.sum(cyc.astype(jnp.float32)) / hw
-        return edge_d, strings_d, boundary_d, arcs_d, n_arcs, cyc_d
+        return (edge_d, rect_strings_d, strings_d, boundary_d, arcs_d,
+                n_arcs, cyc_d)
 
-    edge_d = strings_d = boundary_d = arcs_d = cyc_d = 0.0
+    edge_d = rect_d = strings_d = boundary_d = arcs_d = cyc_d = 0.0
     arcs = 0
     for f in bgr_frames:
-        e, s, b, a, n, c = stats(f)
+        e, rs, s, b, a, n, c = stats(f)
         edge_d = max(edge_d, float(e))
+        rect_d = max(rect_d, float(rs))
         strings_d = max(strings_d, float(s))
         boundary_d = max(boundary_d, float(b))
         arcs_d = max(arcs_d, float(a))
         arcs = max(arcs, int(n))
         cyc_d = max(cyc_d, float(c))
-    return edge_d, strings_d, boundary_d, arcs_d, arcs, cyc_d
+    return edge_d, rect_d, strings_d, boundary_d, arcs_d, arcs, cyc_d
 
 
 def _key(device_kind: str, h: int, w: int) -> str:
@@ -85,7 +94,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     persist, and return the calibrated config."""
     import jax
     h, w = np.asarray(bgr_frames[0]).shape[:2]
-    (edge_d, strings_d, boundary_d, arcs_d, arcs,
+    (edge_d, rect_d, strings_d, boundary_d, arcs_d, arcs,
      cyc_d) = _densities(bgr_frames, cfg)
 
     def factor_for(density, cap=64):
@@ -94,7 +103,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     new = dataclasses.replace(
         cfg,
-        sparse_factor=factor_for(max(edge_d, strings_d), cap=16),
+        sparse_factor=factor_for(max(edge_d, rect_d), cap=16),
         strings_sparse_factor=factor_for(strings_d, cap=24),
         # the small branch of polyline's runtime capacity switch only
         # needs to cover TYPICAL frames (overflow falls back to the big
