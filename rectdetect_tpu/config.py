@@ -80,10 +80,13 @@ class PipelineConfig:
     boundary_ccl_round_cap: int = 128
     # Inside polyline_execute the strings have passed removeBranch
     # (degree <= 2), which caps realistic density well below the raw
-    # stringified map: measured 12% on a 30%-noise frame (the theoretical
-    # 50% needs pixel-perfect alternating diagonal texture; truncation
-    # degrades gracefully and calibration tightens/loosens per scene).
-    strings_sparse_factor: int = 6
+    # stringified map: measured 12% on a 30%-noise frame and 21.5% on
+    # 45% adversarial noise (the theoretical 50% needs pixel-perfect
+    # alternating diagonal texture; truncation degrades gracefully and
+    # calibration tightens/loosens per scene).  /4 covers the measured
+    # adversarial tail; the runtime small-list switch keeps typical
+    # frames at strings_small_factor cost regardless.
+    strings_sparse_factor: int = 4
     # small-capacity branch of the runtime switch in polyline_execute:
     # used whenever the actual strings foreground fits (exactly equal
     # output then — compact_mask drops nothing below the cap); measured
