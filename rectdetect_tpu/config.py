@@ -78,6 +78,11 @@ class PipelineConfig:
     # off).  0 = uncapped.
     weak_ccl_round_cap: int = 48
     boundary_ccl_round_cap: int = 128
+    # Boundary strips are 1-5% dense on typical frames: the XLA sparse
+    # gather CCL can undercut the density-independent Pallas block flood
+    # there.  Off until measured on hardware (tools/ccl_bench.py
+    # boundary); both paths are exact.
+    boundary_tpu_sparse: bool = False
     # Inside polyline_execute the strings have passed removeBranch
     # (degree <= 2), which caps realistic density well below the raw
     # stringified map: measured 12% on a 30%-noise frame and 21.5% on

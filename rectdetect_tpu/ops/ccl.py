@@ -434,7 +434,8 @@ def label_components_adaptive(pix, bgc: int, n_passes: int, n_jumps: int,
                               small_cap: int, big_cap: int,
                               scan_boost: bool = True,
                               round_cap: int = 0,
-                              pieces_ok: bool = False):
+                              pieces_ok: bool = False,
+                              force_xla: bool = False):
     """label_components with a runtime capacity switch.
 
     Both branches compute the exact same labels; the foreground count
@@ -453,7 +454,7 @@ def label_components_adaptive(pix, bgc: int, n_passes: int, n_jumps: int,
     that only aggregate per label (strength filtering)."""
     import jax
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not force_xla:
         from rectdetect_tpu.ops.pallas_ccl import (label_components_exact,
                                                    label_components_pieces)
         if pieces_ok and round_cap:
@@ -465,11 +466,13 @@ def label_components_adaptive(pix, bgc: int, n_passes: int, n_jumps: int,
 
     def small(p):
         return label_components(p, bgc, n_passes, n_jumps,
-                                sparse_cap=small_cap, scan_boost=scan_boost)
+                                sparse_cap=small_cap, scan_boost=scan_boost,
+                                force_xla=force_xla)
 
     def big(p):
         return label_components(p, bgc, n_passes, n_jumps,
-                                sparse_cap=big_cap, scan_boost=scan_boost)
+                                sparse_cap=big_cap, scan_boost=scan_boost,
+                                force_xla=force_xla)
 
     return jax.lax.cond(fg_count <= small_cap, small, big, pix)
 

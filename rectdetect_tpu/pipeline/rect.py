@@ -209,7 +209,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
         boundary = ccl.label_components_adaptive(
             bmark, -1, cfg.ccl_passes, cfg.ccl_jumps,
             small_cap=max(4096, ih * iw // 16), big_cap=spb,
-            round_cap=cfg.boundary_ccl_round_cap)
+            round_cap=cfg.boundary_ccl_round_cap,
+            force_xla=cfg.boundary_tpu_sparse)
     else:
         boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
                                         cfg.ccl_jumps)
