@@ -7,8 +7,12 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def test_wide_kernels_run():
-    h, w = 40, 1920
+import pytest
+
+
+@pytest.mark.parametrize("w", [1920, 3840])
+def test_wide_kernels_run(w):
+    h = 40
     r = np.random.default_rng(3)
 
     from rectdetect_tpu.ops.pallas_morph import (
