@@ -7,6 +7,10 @@ Usage: python -m rectdetect_tpu.apps.vidrect [device] [input] [output] [AOV]
   AOV:    horizontal angle of view in degrees (default 90; demo uses 72)
   --batch=N: TPU throughput mode — process N frames per dispatch
   (rect_frames); best for file transcoding, adds N frames of latency.
+  --streams=N: multi-stream serving mode — N independent copies of the
+  input (files only) served across all visible devices through the
+  fault-tolerant StreamSupervisor (dist/stream.py); reports aggregate
+  frames/s, writes stream 0's annotated output.
 """
 
 from __future__ import annotations
@@ -20,8 +24,11 @@ from rectdetect_tpu.apps import common
 def main(argv=None) -> int:
     argv = sys.argv if argv is None else argv
     batch = 0
+    streams = 0
     argv = [a for a in argv if not (a.startswith("--batch=") and
                                     (batch := int(a.split("=")[1])) >= 0)]
+    argv = [a for a in argv if not (a.startswith("--streams=") and
+                                    (streams := int(a.split("=")[1])) >= 0)]
     if len(argv) < 2:
         sys.stderr.write(
             f"Usage : {argv[0]} [device number] [input video file] "
@@ -67,6 +74,10 @@ def main(argv=None) -> int:
     frames = [None, None]
     n = 0
 
+    if streams > 1:
+        pump.close()
+        return _run_streams(argv[2], writer, winname, tan_aov, cfg,
+                            streams, meter)
     if batch > 1:
         return _run_batched(pump, writer, winname, tan_aov, cfg, batch,
                             meter)
@@ -105,6 +116,48 @@ def main(argv=None) -> int:
         writer.release()
     pump.close()
     cv2.destroyAllWindows()
+    return 0
+
+
+def _run_streams(path, writer, winname, tan_aov, cfg, n_streams, meter):
+    """Multi-stream serving: N copies of a video file served across all
+    devices via the fault-tolerant StreamSupervisor; stream 0's frames
+    are annotated and written/shown, aggregate frames/s printed."""
+    import cv2
+    from rectdetect_tpu.apps import common
+    from rectdetect_tpu.dist.stream import StreamSupervisor
+    from rectdetect_tpu.runtime.native import FramePump
+
+    pumps = [FramePump(path) for _ in range(n_streams)]
+    sup = StreamSupervisor(tan_aov, cfg=cfg)
+    print(f"{n_streams} streams over {len(sup.healthy_devices)} devices")
+    done = 0
+    while True:
+        frames = [p.next(timeout_ms=5000) for p in pumps]
+        if any(f is None for f in frames):
+            break
+        for sid, f in enumerate(frames):
+            sup.submit(sid, f)
+        for sid in range(n_streams):
+            rects = sup.collect(sid)
+            done += 1
+            if sid == 0 and rects is not None:
+                common.draw_rects(frames[0], rects,
+                                  common.RECT_STYLE_VIDEO)
+                if writer is not None:
+                    writer.write(frames[0])
+                else:
+                    cv2.imshow(winname, frames[0])
+                    cv2.waitKey(1)
+            fps = meter.tick()
+            if fps is not None:
+                print(f"{fps:.3g} frames/s aggregate")
+    for p in pumps:
+        p.close()
+    if writer is not None:
+        writer.release()
+    cv2.destroyAllWindows()
+    print(f"{done} frames served")
     return 0
 
 

@@ -48,6 +48,15 @@ def test_vidrect_app(assets, monkeypatch):
     assert os.path.getsize(out) > 0
 
 
+def test_vidrect_app_streams(assets, monkeypatch):
+    monkeypatch.chdir(assets["dir"])
+    out = os.path.join(assets["dir"], "vrs.avi")
+    from rectdetect_tpu.apps import vidrect
+    assert vidrect.main(["vidrect", "0", assets["vid"], out, "72",
+                         "--streams=3"]) == 0
+    assert os.path.getsize(out) > 0
+
+
 def test_vidpoly_app(assets, monkeypatch):
     monkeypatch.chdir(assets["dir"])
     out = os.path.join(assets["dir"], "vp.avi")
