@@ -29,7 +29,7 @@ def init(coordinator: str | None = None, num_hosts: int = 1,
     if num_hosts > 1:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_hosts,
-                                   process_index=host_id)
+                                   process_id=host_id)
 
 
 def global_stream_mesh(n_tile: int = 1):
