@@ -103,7 +103,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     new = dataclasses.replace(
         cfg,
-        sparse_factor=factor_for(max(edge_d, rect_d), cap=16),
+        sparse_factor=factor_for(rect_d, cap=16),
         strings_sparse_factor=factor_for(strings_d, cap=24),
         # the small branch of polyline's runtime capacity switch only
         # needs to cover TYPICAL frames (overflow falls back to the big

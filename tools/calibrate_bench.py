@@ -54,7 +54,7 @@ def main():
 
     new = dataclasses.replace(
         DEFAULT_CONFIG,
-        sparse_factor=factor_for(max(edge_d, rect_d), cap=16),
+        sparse_factor=factor_for(rect_d, cap=16),
         strings_sparse_factor=factor_for(strings_d, cap=24),
         strings_small_factor=max(1, min(
             40, int(1.0 / min(max(strings_d * 1.5, 1e-4), 1.0)))),
