@@ -153,3 +153,45 @@ def load_calibrated_config(h: int, w: int,
                                             cfg.cycle_sparse_factor)),
         ls_capacity=int(entries.get("ls_capacity", cfg.ls_capacity)),
     )
+
+
+def show_plan(plan_path: str = PLAN_PATH) -> None:
+    """Print the persisted calibration table (showPlan analog,
+    oclhelper.c:443-462)."""
+    import pathlib
+    p = pathlib.Path(plan_path)
+    if not p.exists():
+        print(f"no plan at {plan_path}")
+        return
+    section = None
+    rows = {}
+    for line in p.read_text().splitlines():
+        line = line.strip()
+        if line.startswith("[") and line.endswith("]"):
+            section = line[1:-1]
+            rows[section] = {}
+        elif section and " " in line:
+            k, v = line.split(None, 1)
+            rows[section][k] = v
+    keys = sorted({k for r in rows.values() for k in r})
+    wid = max((len(s) for s in rows), default=10)
+    print(f"{'device|res':{wid}}  " + "  ".join(f"{k}" for k in keys))
+    for sec in sorted(rows):
+        print(f"{sec:{wid}}  " + "  ".join(
+            f"{rows[sec].get(k, '-'):>{len(k)}}" for k in keys))
+
+
+def clear_plan(plan_path: str = PLAN_PATH) -> None:
+    """Delete the persisted calibration (clearPlan analog,
+    oclhelper.c:529-553)."""
+    import pathlib
+    pathlib.Path(plan_path).unlink(missing_ok=True)
+    print(f"cleared {plan_path}")
+
+
+if __name__ == "__main__":
+    import sys as _sys
+    if "--clear" in _sys.argv:
+        clear_plan()
+    else:
+        show_plan()
