@@ -178,3 +178,33 @@ def test_stream_supervisor_backpressure_and_exhaustion():
     assert ok.submit("s", 1)
     assert not ok.submit("s", 2)      # back-pressure: queue full
     assert ok.collect("s") == 1
+
+
+def test_stream_supervisor_readback_failure():
+    """A device lost between dispatch and readback is quarantined at
+    collect(); the stream keeps being served elsewhere."""
+    from rectdetect_tpu.dist.stream import StreamSupervisor
+
+    devices = jax.devices()[:2]
+    dead = set()
+
+    def run_fn(bgr, device):
+        if device in (devices[i] for i in dead):
+            raise RuntimeError("dead at dispatch")
+        return (device, bgr)
+
+    def read_fn(res):
+        device, bgr = res
+        if device in (devices[i] for i in dead):
+            raise RuntimeError("dead at readback")
+        return bgr
+
+    sup = StreamSupervisor(devices=devices, run_fn=run_fn, read_fn=read_fn)
+    assert sup.submit("a", 11)
+    di = sup._assign["a"]
+    dead.add(di)
+    assert sup.collect("a") is None           # quarantined at readback
+    assert sup.failures and sup.failures[0][0] == di
+    assert sup.submit("a", 12)                # re-placed on the survivor
+    assert sup._assign["a"] != di
+    assert sup.collect("a") == 12
