@@ -188,8 +188,8 @@ def probe_membership(boundary, arena, n_groups: int, table,
     vdx = -dy / jnp.maximum(ln, 1e-20)
     vdy = dx / jnp.maximum(ln, 1e-20)
 
-    m = jnp.zeros((n_groups + 1, cap), bool)
     lsids = jnp.arange(cap, dtype=jnp.int32)
+    dense_all = []
     for j in range(probe_n):
         fj = (j + 0.5) / probe_n
         px = x0 + dx * fj
@@ -202,8 +202,11 @@ def probe_membership(boundary, arena, n_groups: int, table,
             segid = boundary.reshape(-1)[flat]
             ok = inb & (segid > 0)
             dense = jnp.where(ok, table[jnp.clip(segid, 0, h * w - 1)], 0)
-            dense = jnp.where(dense <= n_groups, dense, 0)
-            m = m.at[(dense, lsids)].set(True, mode="drop")
+            dense_all.append(jnp.where(dense <= n_groups, dense, 0))
+    # all probe points in ONE membership scatter (duplicates idempotent)
+    m = jnp.zeros((n_groups + 1, cap), bool).at[
+        (jnp.concatenate(dense_all),
+         jnp.tile(lsids, len(dense_all)))].set(True, mode="drop")
     return m.at[0].set(False)
 
 
