@@ -27,7 +27,14 @@ def poly_frame(bgr, cfg: PipelineConfig = DEFAULT_CONFIG,
     h, w = bgr.shape[:2]
     fe = edge_frontend(bgr, cfg)
 
-    lbl = ccl.label_components(fe.edge_bin, 0, cfg.ccl_passes, cfg.ccl_jumps)
+    # labels feed only the strength filter, so round-capped block-local
+    # pieces are output-equivalent (same argument as rect_tail's weak
+    # instance; validated in test_pallas_ccl) and much cheaper on TPU
+    lbl = ccl.label_components_adaptive(
+        fe.edge_bin, 0, cfg.ccl_passes, cfg.ccl_jumps,
+        small_cap=max(4096, h * w // 8),
+        big_cap=max(4096, h * w // 2),   # raw thinned map: ~32% density
+        round_cap=cfg.weak_ccl_round_cap, pieces_ok=True)
     st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
     lbl = ccl.filter_strength(lbl, st, strength)
     edge = (lbl > 0).astype(jnp.int32)
