@@ -137,7 +137,8 @@ def main():
 
     arenas = [pl(e) for e in ebs]
 
-    # --- polyline sub-stages (same data flow as polyline_execute) -------
+    # --- polyline sub-stages (the LEGACY dense op chain; the production
+    # sparse tail is the one-walk form — profile it with tools/pl_bisect.py)
     from rectdetect_tpu.ops import chain as pchain
     sp = (max(4096, h * w // cfg.strings_sparse_factor)
           if cfg.sparse_factor else None)
