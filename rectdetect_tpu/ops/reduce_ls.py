@@ -135,8 +135,8 @@ def pair_bbox_table(boundary, lsid_img, nentry: int, k_slots: int = 4,
 def densify_labels(label, bg: int = -1):
     """Dense ids 1..count for a min-flat-index label image.
 
-    Returns (dense (H,W), table (H*W+1,) flat->dense, roots (as flat
-    indices, gathered later via `root_of`), count)."""
+    Returns (dense (H,W), table (H*W+1,) flat->dense, count, rank —
+    the inclusive root-rank cumsum, shareable with dense_roots)."""
     h, w = label.shape
     n = h * w
     flat = label.reshape(-1)
@@ -145,22 +145,27 @@ def densify_labels(label, bg: int = -1):
     rank = jnp.cumsum(is_root.astype(jnp.int32))
     table = jnp.where(is_root, rank, 0).astype(jnp.int32)
     dense = jnp.where(flat != bg, table[jnp.clip(flat, 0, n - 1)], 0)
-    return dense.reshape(h, w), table, rank[-1]
+    return dense.reshape(h, w), table, rank[-1], rank
 
 
-def dense_roots(label, k: int, bg: int = -1):
+def dense_roots(label, k: int, bg: int = -1, rank=None):
     """Flat index of the root of each dense id 1..k, as a (k+1,) table.
 
     roots[g] = first flat position where the inclusive root-rank reaches
     g — k log-probes via searchsorted instead of a full-frame scatter
     (which costs ~8 ms at 720p for what is a k~200-entry result).
-    Ids beyond the actual root count return n (no such root)."""
+    Ids beyond the actual root count return n (no such root).
+
+    rank: optional precomputed inclusive root-rank cumsum (the same
+    array densify_labels builds — pass it to share the full-frame scan).
+    """
     h, w = label.shape
     n = h * w
-    flat = label.reshape(-1)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_root = (flat == idx) & (flat != bg)
-    rank = jnp.cumsum(is_root.astype(jnp.int32))
+    if rank is None:
+        flat = label.reshape(-1)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        is_root = (flat == idx) & (flat != bg)
+        rank = jnp.cumsum(is_root.astype(jnp.int32))
     gs = jnp.arange(k + 1, dtype=jnp.int32)
     pos = jnp.searchsorted(rank, gs, side="left").astype(jnp.int32)
     ok = (gs >= 1) & (gs <= rank[-1])

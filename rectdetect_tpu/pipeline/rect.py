@@ -62,7 +62,7 @@ def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
     table = reduce_ls.pair_bbox_table(
         boundary, lsid, nentry,
         edge_cap=max(4096, iw * ih // cfg.arc_sparse_factor), comp=comp)
-    dense, flat2dense, _ = reduce_ls.densify_labels(boundary, bg=-1)
+    _, flat2dense, _, rank = reduce_ls.densify_labels(boundary, bg=-1)
 
     # --- source A: region boundaries (oclrect.c:1064-1171) ---------------
     m_a = reduce_ls.probe_membership(boundary, arena, gmax, flat2dense,
@@ -71,7 +71,7 @@ def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
     # boundary group g's original (flat) label = its root pixel index;
     # the g-th root in flat order has dense id g, so log-probe the root
     # rank instead of scattering the full frame (reduce_ls.dense_roots)
-    roots = reduce_ls.dense_roots(boundary, gmax, bg=-1)
+    roots = reduce_ls.dense_roots(boundary, gmax, bg=-1, rank=rank)
 
     ids_a, mv_a = _members_from_matrix(m_a, gmax, k)
     group_ok_a = counts[1:] >= 4                        # oclrect.c:1108

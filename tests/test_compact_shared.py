@@ -106,7 +106,7 @@ def test_dense_roots_matches_scatter():
         root = y * 64 + x
         lab[y:y + 3, x:x + 4] = root
     lj = jnp.asarray(lab)
-    dense, table, cnt = reduce_ls.densify_labels(lj, bg=-1)
+    dense, table, cnt, _ = reduce_ls.densify_labels(lj, bg=-1)
     gmax = 16
     n = 48 * 64
     idxs = np.arange(n, dtype=np.int32)
