@@ -85,3 +85,31 @@ def test_rect_frame_no_quads_plain_scene():
     rects = live_rects(res)
     screens = [r for r in rects if r["status"] & 1]
     assert len(screens) == 0
+
+
+def test_rect_sparse_matches_dense():
+    """The sparse/slot-space rect tail must produce the same accepted
+    rectangles as the dense formulation (capacity floors cover the whole
+    frame at this size, so no truncation is in play)."""
+    import dataclasses
+    import math
+    from rectdetect_tpu.config import DEFAULT_CONFIG
+
+    dense_cfg = dataclasses.replace(DEFAULT_CONFIG, sparse_factor=0)
+    tan = math.tan(math.radians(72) / 2)
+    r = np.random.default_rng(9)
+    for seed in range(3):
+        bgr = np.full((80, 112, 3), 75, np.uint8)
+        bgr[18:60, 20:64] = (190, 150, 70)
+        bgr[30:70, 70:104] = (60, 170, 200)
+        bgr = (bgr.astype(np.int16) + np.random.default_rng(seed)
+               .integers(-3, 4, bgr.shape, dtype=np.int16)).clip(
+                   0, 255).astype(np.uint8)
+        a = live_rects(rect_frame(jnp.asarray(bgr), tan))
+        b = live_rects(rect_frame(jnp.asarray(bgr), tan, dense_cfg))
+        ca = sorted(tuple(np.round(np.sort(np.asarray(x["c2"]), 0).ravel(),
+                                   1)) for x in a)
+        cb = sorted(tuple(np.round(np.sort(np.asarray(x["c2"]), 0).ravel(),
+                                   1)) for x in b)
+        assert ca == cb, (seed, ca, cb)
+    del r
