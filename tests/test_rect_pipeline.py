@@ -113,3 +113,30 @@ def test_rect_sparse_matches_dense():
                                    1)) for x in b)
         assert ca == cb, (seed, ca, cb)
     del r
+
+
+def test_rect_outline_only_detected_via_polyline_source():
+    """An unfilled rectangle outline is found, including by hypothesis
+    source B (whole polylines — status bit 2, oclrect.c:1210)."""
+    import math
+    from PIL import Image, ImageDraw
+    img = Image.new("RGB", (128, 96), (80, 80, 80))
+    d = ImageDraw.Draw(img)
+    d.rectangle([24, 20, 100, 72], outline=(220, 220, 90), width=2)
+    bgr = np.asarray(img, np.uint8)[..., ::-1].copy()
+    r = np.random.default_rng(0)
+    bgr = (bgr.astype(np.int16)
+           + r.integers(-3, 4, bgr.shape, dtype=np.int16)).clip(
+               0, 255).astype(np.uint8)
+    dets = live_rects(rect_frame(jnp.asarray(bgr),
+                                 math.tan(math.radians(36))))
+    assert dets
+    assert any(x["status"] & 2 for x in dets)        # polyline source
+    best = min(dets, key=lambda x: np.abs(
+        np.sort(np.asarray(x["c2"]), 0)
+        - np.sort(np.array([[24, 20], [100, 20], [100, 72], [24, 72]],
+                           np.float32), 0)).max())
+    err = np.abs(np.sort(np.asarray(best["c2"]), 0)
+                 - np.sort(np.array([[24, 20], [100, 20], [100, 72],
+                                     [24, 72]], np.float32), 0)).max()
+    assert err <= 3.0, err
