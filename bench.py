@@ -49,7 +49,7 @@ def main():
     # capacity calibration when one exists (tools/calibrate_bench.py
     # writes it); silently defaults otherwise
     from rectdetect_tpu.runtime.calibrate import load_calibrated_config
-    cfg = load_calibrated_config(h, w)
+    cfg = load_calibrated_config(h, w, verbose=True)
     # pre-upload distinct frames (vidrect overlaps transfers with compute;
     # on relay-tunneled devices host<->device bandwidth is not the metric)
     frames = [jax.device_put(synth_frame(h, w, seed=s)) for s in range(2)]

@@ -128,15 +128,51 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     return new
 
 
+def _plan_lookup(dev: str, platform: str, h: int, w: int,
+                 plan_path: str):
+    """Exact device-kind key, else (for non-CPU devices) any persisted
+    TPU entry at the same resolution.  Returns (entries, key_used)."""
+    import pathlib
+    used = _key(dev, h, w)
+    entries = native.plan_load(plan_path, used)
+    if not entries and ("tpu" in dev.lower() or platform != "cpu"):
+        suffix = f"|{h}x{w}]"
+        p = pathlib.Path(plan_path)
+        if p.exists():
+            for line in p.read_text().splitlines():
+                line = line.strip()
+                if line.startswith("[TPU") and line.endswith(suffix):
+                    used = line[1:-1]
+                    entries = native.plan_load(plan_path, used)
+                    break
+    return entries, used
+
+
 def load_calibrated_config(h: int, w: int,
                            cfg: PipelineConfig = DEFAULT_CONFIG,
-                           plan_path: str = PLAN_PATH) -> PipelineConfig:
-    """Apply a persisted calibration if one exists (loadPlan analog)."""
+                           plan_path: str = PLAN_PATH,
+                           verbose: bool = False) -> PipelineConfig:
+    """Apply a persisted calibration if one exists (loadPlan analog).
+
+    Falls back across TPU device-kind spellings ("TPU v5 lite" vs
+    "TPU v5e" vs relay-specific kinds): if the exact key misses and the
+    device looks like a TPU, any persisted TPU entry at the same
+    resolution applies — capacities depend on the workload, not the
+    chip generation."""
+    import sys
+
     import jax
-    dev = jax.devices()[0].device_kind
-    entries = native.plan_load(plan_path, _key(dev, h, w))
+    d0 = jax.devices()[0]
+    dev = d0.device_kind
+    entries, used = _plan_lookup(dev, d0.platform, h, w, plan_path)
     if not entries:
+        if verbose:
+            print(f"calibrate: no plan entry for {_key(dev, h, w)}",
+                  file=sys.stderr)
         return cfg
+    if verbose:
+        print(f"calibrate: applying plan [{used}] (device kind "
+              f"{dev!r})", file=sys.stderr)
     return dataclasses.replace(
         cfg,
         sparse_factor=int(entries.get("sparse_factor",

@@ -25,6 +25,29 @@ def test_calibrate_roundtrip(tmp_path, monkeypatch):
     assert other == DEFAULT_CONFIG
 
 
+def test_plan_lookup_tpu_kind_fallback(tmp_path):
+    # a relay may report a device_kind spelling that was never calibrated;
+    # any persisted TPU entry at the same resolution must still apply
+    plan = str(tmp_path / "plan.txt")
+    from rectdetect_tpu.runtime import native
+    native.plan_save(plan, "TPU_v5_lite|720x1280", {"sparse_factor": "2"})
+
+    exact, used = calibrate._plan_lookup("TPU v5 lite", "tpu",
+                                         720, 1280, plan)
+    assert exact and used == "TPU_v5_lite|720x1280"
+
+    fb, used = calibrate._plan_lookup("TPU v5e (axon)", "axon",
+                                      720, 1280, plan)
+    assert fb.get("sparse_factor") == "2"
+    assert used == "TPU_v5_lite|720x1280"
+
+    # CPU never borrows TPU entries; wrong resolution never matches
+    none, _ = calibrate._plan_lookup("cpu", "cpu", 720, 1280, plan)
+    assert not none
+    none, _ = calibrate._plan_lookup("TPU weird", "tpu", 480, 640, plan)
+    assert not none
+
+
 def test_calibrated_config_runs():
     import math
     from rectdetect_tpu.pipeline.rect import rect_frame, live_rects
