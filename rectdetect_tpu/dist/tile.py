@@ -6,48 +6,93 @@ arbitrarily long pixel chains) must cross tile seams.  Mechanisms:
 
   * stencil stages: exchange `halo` boundary columns with ICI neighbors
     (`lax.ppermute`), compute on the widened tile, crop — bitwise equal
-    to the single-chip stencil because every front-end op has finite
-    static support (blur taps r<=3, edgevec 5x5, edge 3x3, thin 8x8,
-    total well under the default halo).
+    to the single-chip stencil because every op has finite static support
+    (blur taps r<=3, edgevec 5x5, edge 3x3, thin 8x8, blblur 5 px/iter)
+    and the border-guarded ops take a global-x offset (ops accept
+    x0/w_total) so "border" means the TRUE frame border.
   * connected-component labeling: each tile labels locally (the fast
     single-chip pointer-jumping CCL over LOCAL indices), then keeps one
     GLOBAL label per local root in a value table.  Seam rounds exchange
     boundary columns and scatter-min into the root table, so a minimum
     crossing a seam floods the entire local component in one gather —
     O(#seam crossings of a component) rounds, not O(path length).
+  * per-component tables (strength sums, size histograms): each tile
+    scatter-adds its partial into the global-root-indexed table and the
+    tables are `psum`ed over the tile axis (integer adds — exact).
+  * the geometry tail (polylines/hypotheses/pose) runs replicated on two
+    all_gather'd maps (strong edges + boundary labels); its pointer
+    doubling over compacted slot lists does not shard cleanly (SURVEY.md
+    §7 step 7) and is small relative to the sharded stages at 4K.
 
 All functions here run INSIDE shard_map with axis_name "tile".
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from rectdetect_tpu.core import color
-from rectdetect_tpu.ops import blur, gradient, thin
-from rectdetect_tpu.ops.ccl import label_components
+from rectdetect_tpu.ops import blur, gradient, morphology, regions, thin
+from rectdetect_tpu.ops.ccl import label_components, interior_mask
+from rectdetect_tpu.ops.shifts import pad2d, shifted
 from rectdetect_tpu.config import PipelineConfig, DEFAULT_CONFIG
 
 
-def halo_exchange_w(x, halo: int, axis_name: str = "tile"):
+def _fetch_from(x, d: int, axis_name: str):
+    """The value of x at tile (idx - d) — data flows right by d hops."""
+    n = lax.axis_size(axis_name)
+    perm = [(i, (i + d) % n) for i in range(n)]
+    return lax.ppermute(x, axis_name, perm)
+
+
+def halo_exchange_w(x, halo: int, axis_name: str = "tile",
+                    fill: str = "reflect", fill_value=0):
     """Widen a width-tile with `halo` columns from each ICI neighbor.
 
-    x: (..., H, W_local).  Edge tiles mirror-pad (reflect-101), interior
-    seams receive true neighbor columns, so the composition equals the
-    full-frame mirror-padded stencil."""
+    x: (..., H, W_local).  Interior seams receive true neighbor columns
+    (multi-hop ppermute when halo > W_local); at the TRUE frame borders
+    the pad is reflect-101 (`fill="reflect"`, matches the mirrored
+    stencil front-end) or a constant (`fill="const"`, matches the
+    zero-padded morphology/blur ops — pick fill_value so beyond-frame
+    data is inert for the op)."""
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
-    left_src = [(i, (i + 1) % n) for i in range(n)]   # data flows right
-    right_src = [((i + 1) % n, i) for i in range(n)]  # data flows left
-    from_left = lax.ppermute(x[..., -halo:], axis_name, left_src)
-    from_right = lax.ppermute(x[..., :halo], axis_name, right_src)
-    # reflect-101 at the true frame borders
-    lpad = jnp.flip(x[..., 1:halo + 1], axis=-1)
-    rpad = jnp.flip(x[..., -halo - 1:-1], axis=-1)
-    left = jnp.where(idx == 0, lpad, from_left)
-    right = jnp.where(idx == n - 1, rpad, from_right)
+    wl = x.shape[-1]
+    if fill == "reflect":
+        if halo > wl:
+            raise NotImplementedError("reflect fill needs halo <= tile w")
+        left_src = [(i, (i + 1) % n) for i in range(n)]   # data flows right
+        right_src = [((i + 1) % n, i) for i in range(n)]  # data flows left
+        from_left = lax.ppermute(x[..., -halo:], axis_name, left_src)
+        from_right = lax.ppermute(x[..., :halo], axis_name, right_src)
+        lpad = jnp.flip(x[..., 1:halo + 1], axis=-1)
+        rpad = jnp.flip(x[..., -halo - 1:-1], axis=-1)
+        left = jnp.where(idx == 0, lpad, from_left)
+        right = jnp.where(idx == n - 1, rpad, from_right)
+        return jnp.concatenate([left, x, right], axis=-1)
+
+    k = -(-halo // wl)  # hops needed on each side
+    fillv = jnp.asarray(fill_value, x.dtype)
+    lparts = []
+    rparts = []
+    for d in range(k, 0, -1):
+        blk = _fetch_from(x, d, axis_name)
+        lparts.append(jnp.where(idx - d >= 0, blk, fillv))
+    for d in range(1, k + 1):
+        blk = _fetch_from(x, -d, axis_name)
+        rparts.append(jnp.where(idx + d <= n - 1, blk, fillv))
+    left = jnp.concatenate(lparts, axis=-1)[..., -halo:]
+    right = jnp.concatenate(rparts, axis=-1)[..., :halo]
     return jnp.concatenate([left, x, right], axis=-1)
+
+
+def _tile_geom(wl: int, axis_name: str):
+    """(n_tiles, tile index, global frame width, global x of local col 0)."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    return n, idx, wl * n, idx * wl
 
 
 def edge_frontend_tiled(bgr_tile, halo: int = 16,
@@ -67,23 +112,313 @@ def edge_frontend_tiled(bgr_tile, halo: int = 16,
     return et, (et > 0).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# sharded rect tail stages (each equals its single-chip stage's tile)
+# ---------------------------------------------------------------------------
+
+def strings_chain_tiled(edge_bin, variant: str, halo: int = 8,
+                        axis_name: str = "tile"):
+    """strings_chain on a width tile (halo covers the 4-op stencil chain;
+    x0 keeps the checkerboard parity and border guards global)."""
+    h, wl = edge_bin.shape
+    _, _, w, xg0 = _tile_geom(wl, axis_name)
+    wide = halo_exchange_w(edge_bin, halo, axis_name, fill="const")
+    s = morphology.strings_chain(wide, variant, x0=xg0 - halo, w_total=w)
+    return s[..., halo:-halo]
+
+
+def calc_strength_tiled(edge_thin, glabel, scale: float,
+                        axis_name: str = "tile"):
+    """Global per-component strength table (n+1,), n = H*W_frame: local
+    scatter-add keyed by GLOBAL root labels, psum over tiles (integer adds
+    — exact vs the single-chip calc_strength; oclimgutil.cl:641-649)."""
+    h, wl = glabel.shape
+    _, _, w, xg0 = _tile_geom(wl, axis_name)
+    n = h * w
+    inter = interior_mask(h, wl, 1, xg0, w)
+    lbl = glabel.reshape(-1)
+    val = jnp.trunc(edge_thin.reshape(-1) ** 2 * scale).astype(jnp.int32)
+    ok = inter.reshape(-1) & (lbl > 0)
+    tgt = jnp.where(ok, lbl, n)
+    partial = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(
+        jnp.where(ok, val, 0), mode="drop")
+    return lax.psum(partial, axis_name)
+
+
+def filter_strength_tiled(glabel, strength, thre: int,
+                          axis_name: str = "tile"):
+    """filter_strength with global labels + the psum'd strength table
+    (oclimgutil.cl:651-657); interior means the TRUE frame border."""
+    h, wl = glabel.shape
+    _, _, w, xg0 = _tile_geom(wl, axis_name)
+    inter = interior_mask(h, wl, 1, xg0, w)
+    lbl = glabel.reshape(-1)
+    st = strength[jnp.clip(lbl, 0, strength.shape[0] - 1)]
+    kill = (lbl <= 0) | (st < thre)
+    return jnp.where(inter.reshape(-1) & kill, -1, lbl).reshape(h, wl)
+
+
+def blblur_tiled(packed, edge, iters: int = 10, halo: int = 56,
+                 axis_name: str = "tile"):
+    """Edge-limited blur on a width tile.  One exchange up front: the
+    horizontal pass reaches ±5 columns per iteration (window ±4, break
+    tests ±5) and the vertical pass only reads the static edge map one
+    column across, so halo >= 5*iters + 5 makes the crop exact.  The
+    q<0 / q>limit-1 border breaks run in global coords (x0/w_total), so
+    beyond-frame fill never contributes."""
+    h, wl = packed.shape
+    _, _, w, xg0 = _tile_geom(wl, axis_name)
+    wp = halo_exchange_w(packed, halo, axis_name, fill="const")
+    we = halo_exchange_w(edge, halo, axis_name, fill="const")
+    out = regions.blblur(wp, we, iters, x0=xg0 - halo, w_total=w)
+    return out[..., halo:-halo]
+
+
+def quantize_despeckle_tiled(blurred, edge_thin, cfg: PipelineConfig,
+                             axis_name: str = "tile"):
+    """quantize + despeckle (oclrect.c:300-303) on a width tile.  The
+    beyond-frame halo is marked "on edge" (huge edge magnitude) so
+    despeckle's candidate scan excludes it exactly like the single-chip
+    in-bounds test."""
+    halo = 2
+    wp = halo_exchange_w(blurred, halo, axis_name, fill="const")
+    we = halo_exchange_w(edge_thin, halo, axis_name, fill="const",
+                         fill_value=1e9)
+    q = regions.quantize_packed(wp, cfg.quantize_levels,
+                                cfg.quantize_levels, cfg.quantize_levels)
+    out = regions.despeckle(q, we)
+    return out[..., halo:-halo]
+
+
+def junction_merge_mask_tiled(strong_lbl, axis_name: str = "tile"):
+    """simple_junction + merge mask (oclrect.cl:246-287): dilations reach
+    <= 8 px + 1 px junction support."""
+    halo = 12
+    h, wl = strong_lbl.shape
+    _, _, w, xg0 = _tile_geom(wl, axis_name)
+    wide = halo_exchange_w(strong_lbl, halo, axis_name, fill="const",
+                           fill_value=-1)
+    jn = morphology.simple_junction(wide, positive_only=True,
+                                    x0=xg0 - halo, w_total=w)
+    m = regions.merge_mask(jn)
+    return m[..., halo:-halo]
+
+
+def label_merge_tiled(despeck, mask, strong_lbl,
+                      cfg: PipelineConfig = DEFAULT_CONFIG,
+                      n_seam: int = 8, axis_name: str = "tile"):
+    """Region-merge CCL across width tiles (labelMergeMain,
+    oclrect.cl:300-334): local scan-flood fixpoint over LOCAL indices,
+    then root-table seam rounds over the 4-connected cross-seam link
+    (the same link predicate _merge_pairs uses in-tile, evaluated on the
+    exchanged seam columns).  Returns GLOBAL min-flat-index labels."""
+    h, wl = despeck.shape
+    n_t, idx, w, xg0 = _tile_geom(wl, axis_name)
+    gsent = jnp.int32(h * w)
+
+    local = regions.label_merge(despeck, mask, strong_lbl,
+                                cfg.labelmerge_passes, cfg.labelmerge_jumps,
+                                x0=xg0, w_total=w)
+    lflat = local.reshape(-1)                       # local flat root ids
+
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xg = jnp.arange(wl, dtype=jnp.int32)[None, :] + xg0
+    gidx = (yy * w + xg).reshape(-1)
+    value = jnp.full((h * wl,), gsent, jnp.int32)
+    value = value.at[lflat].min(gidx)               # global idx of each root
+
+    left_src = [(i, (i + 1) % n_t) for i in range(n_t)]
+    right_src = [((i + 1) % n_t, i) for i in range(n_t)]
+
+    def cols(a):
+        return a[:, -1], a[:, 0]
+
+    dsp_l, dsp_f = cols(despeck)
+    msk_l, msk_f = cols(mask)
+    edg_l, edg_f = cols(strong_lbl)
+    # up-equality of a column (for the preprocess seed, oclrect.cl:293-296)
+    def up_eq(col):
+        return jnp.concatenate([jnp.zeros((1,), bool), col[1:] == col[:-1]])
+    y_int = (jnp.arange(h) >= 1) & (jnp.arange(h) < h - 1)
+
+    def link(dsp_a, msk_a, dsp_b, msk_b, edg_b, upeq_b):
+        """mergeability of seam pair (a = left pixel, b = right pixel);
+        both sit at seam columns, so frame-x interiority always holds and
+        interior reduces to the y bounds."""
+        eq = dsp_a == dsp_b
+        blocked = edg_b > 0
+        main = ~blocked & ((y_int & (eq | (msk_a != 0))) |
+                           (y_int & (eq | (msk_b != 0))))
+        seed = eq & ~upeq_b
+        return main | seed
+
+    # static column data crosses once
+    from_left = lax.ppermute(
+        jnp.stack([dsp_l, msk_l.astype(jnp.int32)]), axis_name, left_src)
+    from_right = lax.ppermute(
+        jnp.stack([dsp_f, msk_f.astype(jnp.int32), edg_f,
+                   up_eq(dsp_f).astype(jnp.int32)]), axis_name, right_src)
+    link_r = link(dsp_l, msk_l, from_right[0], from_right[1],
+                  from_right[2], from_right[3] != 0) & (idx < n_t - 1)
+    link_l = link(from_left[0], from_left[1], dsp_f, msk_f, edg_f,
+                  up_eq(dsp_f)) & (idx > 0)
+
+    lcol_root = lflat.reshape(h, wl)[:, 0]
+    rcol_root = lflat.reshape(h, wl)[:, -1]
+
+    def seam_round(_, value):
+        glabel = value[lflat].reshape(h, wl)
+        gl_from_left = lax.ppermute(glabel[:, -1], axis_name, left_src)
+        gl_from_right = lax.ppermute(glabel[:, 0], axis_name, right_src)
+        rbest = jnp.where(link_r, gl_from_right, gsent)
+        lbest = jnp.where(link_l, gl_from_left, gsent)
+        value = value.at[rcol_root].min(rbest)
+        value = value.at[lcol_root].min(lbest)
+        return value
+
+    value = lax.fori_loop(0, n_seam, seam_round, value)
+    return value[lflat].reshape(h, wl)
+
+
+def label_sizes_tiled(glabel, axis_name: str = "tile"):
+    """Global size histogram (calcSize, oclrect.cl:336-348): (n+1,) with
+    the last slot pinned 0 (used as the inert beyond-frame fill in
+    despeckle2_tiled)."""
+    h, wl = glabel.shape
+    _, _, w, _ = _tile_geom(wl, axis_name)
+    n = h * w
+    tgt = jnp.clip(glabel.reshape(-1), 0, n - 1)
+    partial = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(1)
+    return lax.psum(partial, axis_name)
+
+
+def despeckle2_tiled(glabel, sizes_ext, thre: int,
+                     axis_name: str = "tile"):
+    """despeckle2 (oclrect.cl:350-371) on a width tile: 3x3 first-max
+    absorb using the psum'd global size table.  Beyond-frame candidates
+    carry label n (size 0) so the strict s > best test drops them exactly
+    like the single-chip in-bounds check."""
+    h, wl = glabel.shape
+    _, _, w, _ = _tile_geom(wl, axis_name)
+    n = h * w
+    wide = halo_exchange_w(glabel, 1, axis_name, fill="const",
+                           fill_value=n)
+    wp = pad2d(wide, 1, "zero", constant=n)         # y pad: size-0 slot too
+    szp = sizes_ext[jnp.clip(wp, 0, n)]
+    ww = wide.shape[-1]
+
+    sz_at = sizes_ext[jnp.clip(glabel, 0, n)]
+    small = sz_at <= thre
+    best_sz = jnp.zeros((h, ww), jnp.int32)
+    best_lb = wide
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            cand = shifted(wp, 1, dy, dx, h, ww)
+            s = shifted(szp, 1, dy, dx, h, ww)
+            take = s > best_sz
+            best_sz = jnp.where(take, s, best_sz)
+            best_lb = jnp.where(take, cand, best_lb)
+    out = jnp.where(small, best_lb[:, 1:-1], glabel)
+    return out.astype(jnp.int32)
+
+
+def mark_boundary_tiled(glabel, axis_name: str = "tile"):
+    """markBoundary (oclrect.cl:373-390) on a width tile: 5x5 different-
+    label test; the 2 px TRUE frame border is -1 (global interior)."""
+    h, wl = glabel.shape
+    _, _, w, xg0 = _tile_geom(wl, axis_name)
+    inter = interior_mask(h, wl, 2, xg0, w)
+    wide = halo_exchange_w(glabel, 2, axis_name, fill="const",
+                           fill_value=-1)
+    wp = pad2d(wide, 2, "edge")
+    ww = wide.shape[-1]
+    diff = jnp.zeros((h, ww), bool)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            diff = diff | (shifted(wp, 2, dy, dx, h, ww) != wide)
+    diff = diff[:, 2:-2]
+    return jnp.where(inter & diff, glabel, -1).astype(jnp.int32)
+
+
+def rect_tail_tiled(packed_tile, edge_thin_tile, edge_bin_tile, tan_aov,
+                    cfg: PipelineConfig = DEFAULT_CONFIG,
+                    n_seam: int | None = None, axis_name: str = "tile"):
+    """The full rect tail with every stage before the geometry tail
+    sharded over width tiles (matches pipeline/rect.rect_tail with the
+    dense/exact labeling path).  The polyline/hypothesis/pose tail runs
+    replicated on the two gathered maps."""
+    from rectdetect_tpu.pipeline.rect import rect_geometry_tail
+
+    h, wl = packed_tile.shape
+    n_t, _, w, _ = _tile_geom(wl, axis_name)
+    if n_seam is None:
+        n_seam = 8
+
+    s = strings_chain_tiled(edge_bin_tile, "rect", axis_name=axis_name)
+    glabel = ccl_tiled(s, 0, n_seam=n_seam, cfg=cfg, axis_name=axis_name)
+    st = calc_strength_tiled(edge_thin_tile, glabel, cfg.strength_scale,
+                             axis_name)
+    weak = filter_strength_tiled(glabel, st, cfg.strength_weak, axis_name)
+    weak_bin = (weak > 0).astype(jnp.int32)
+
+    blurred = blblur_tiled(packed_tile, weak_bin, cfg.blblur_iters,
+                           axis_name=axis_name)
+    despeck = quantize_despeckle_tiled(blurred, edge_thin_tile, cfg,
+                                       axis_name)
+
+    strong = filter_strength_tiled(weak, st, cfg.strength_strong,
+                                   axis_name)
+    strong_bin = (strong > 0).astype(jnp.int32)
+
+    mask = junction_merge_mask_tiled(strong, axis_name)
+    seg = label_merge_tiled(despeck, mask, strong, cfg, n_seam, axis_name)
+    sizes = label_sizes_tiled(seg, axis_name)
+    seg = despeckle2_tiled(seg, sizes, cfg.despeckle2_thre, axis_name)
+
+    bmark = mark_boundary_tiled(seg, axis_name)
+    boundary = ccl_tiled(bmark, -1, n_seam=n_seam, cfg=cfg,
+                         axis_name=axis_name)
+
+    sb = lax.all_gather(strong_bin, axis_name, axis=1, tiled=True)
+    bd = lax.all_gather(boundary, axis_name, axis=1, tiled=True)
+    return rect_geometry_tail(sb, bd, tan_aov, cfg)
+
+
 def rect_step_tiled(frame_tile, tan_aov, halo: int = 16,
                     cfg: PipelineConfig = DEFAULT_CONFIG,
                     axis_name: str = "tile"):
     """Full rect detection for one frame whose width is sharded over the
     tile axis (call inside shard_map).
 
-    The stencil-heavy front-end runs tiled with ICI halo exchange; the
-    front-end products are all_gather'd and the label/geometry tail runs
-    replicated per tile (it is small relative to the stencils, and its
-    pointer-chasing does not shard cleanly — cross-tile CCL for the tail
-    is available separately as ccl_tiled).  Returns a full-frame
-    RectResult, identical on every tile rank."""
+    Every stage up to boundary labeling runs sharded (halo-exchange
+    stencils, cross-tile CCL root tables, psum'd component tables); only
+    the geometry tail (polylines -> hypotheses -> pose) is replicated,
+    fed by all_gathers of the strong-edge and boundary maps.  Returns a
+    full-frame RectResult, identical on every tile rank."""
+    et, eb = edge_frontend_tiled(frame_tile, halo, cfg, axis_name)
+    if cfg.color_exact:
+        packed_local = color.bgr_to_packed_exact(frame_tile)
+    else:
+        packed_local = color.pack_lab(color.bgr_to_labf(frame_tile))
+    return rect_tail_tiled(packed_local, et, eb, tan_aov, cfg,
+                           axis_name=axis_name)
+
+
+def rect_step_tiled_gather(frame_tile, tan_aov, halo: int = 16,
+                           cfg: PipelineConfig = DEFAULT_CONFIG,
+                           axis_name: str = "tile"):
+    """The tiled-front-end-only variant: front-end products are
+    all_gather'd and the whole tail runs replicated per tile.  Kept as
+    the oracle for rect_step_tiled and for latency comparisons (the
+    sharded tail pays collectives; this pays replicated compute)."""
     from jax import lax as _lax
     from rectdetect_tpu.pipeline.rect import rect_tail
 
     et, eb = edge_frontend_tiled(frame_tile, halo, cfg, axis_name)
-    packed_local = color.pack_lab(color.bgr_to_labf(frame_tile))
+    if cfg.color_exact:
+        packed_local = color.bgr_to_packed_exact(frame_tile)
+    else:
+        packed_local = color.pack_lab(color.bgr_to_labf(frame_tile))
     packed = _lax.all_gather(packed_local, axis_name, axis=1, tiled=True)
     etf = _lax.all_gather(et, axis_name, axis=1, tiled=True)
     ebf = _lax.all_gather(eb, axis_name, axis=1, tiled=True)

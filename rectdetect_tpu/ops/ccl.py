@@ -263,6 +263,23 @@ def _interior_mask(h, w, margin):
     return jnp.asarray(_interior_cache(h, w, margin))
 
 
+def interior_mask(h, w, margin, x0=0, w_total=None):
+    """Frame-interior mask for a width slice of a (h, w_total) frame whose
+    local column 0 sits at global x `x0` (rows are always full height).
+
+    With the defaults this is the cached single-chip mask; the offset form
+    serves the width-tiled distribution layer (dist/tile.py), where ops run
+    on halo-widened tiles and "border" means the TRUE frame border.  x0 may
+    be a traced scalar (lax.axis_index arithmetic)."""
+    if w_total is None and isinstance(x0, int) and x0 == 0:
+        return _interior_mask(h, w, margin)
+    wt = w if w_total is None else w_total
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xg = jnp.arange(w, dtype=jnp.int32)[None, :] + x0
+    return ((yy >= margin) & (yy < h - margin) &
+            (xg >= margin) & (xg < wt - margin))
+
+
 def _scan_flood_arcs(label_flat, number, sent, h, w):
     """Row+column segmented-min flood with the labelpl adjacency
     (|number difference| <= 1, both foreground)."""

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from rectdetect_tpu.ops.shifts import NEIGH8, pad2d, shifted
-from rectdetect_tpu.ops.ccl import _interior_mask
+from rectdetect_tpu.ops.ccl import _interior_mask, interior_mask
 
 
 def _neighbor_count(nz):
@@ -26,21 +26,27 @@ def _neighbor_count(nz):
     return cnt
 
 
-def simple_junction(img, positive_only: bool = False):
+def simple_junction(img, positive_only: bool = False, x0=0,
+                    w_total=None):
     """Neighbor-degree map (simpleJunction, oclpolyline.cl:66-87).
 
     out = 0 for background/isolated pixels, else 1 + #nonzero 8-neighbors.
     positive_only=True mirrors the oclrect.cl:74-95 variant which treats
     only values > 0 as set (labels can be -1 there).
+
+    x0/w_total: global-x offset and true frame width when img is a
+    halo-widened width tile (dist/tile.py) — the border guard then means
+    the true frame border.
     """
     h, w = img.shape
     nz = (img > 0) if positive_only else (img != 0)
     cnt = 1 + _neighbor_count(nz)
     out = jnp.where(nz & (cnt > 1), cnt, 0)
-    return jnp.where(_interior_mask(h, w, 1), out, 0).astype(jnp.int32)
+    return jnp.where(interior_mask(h, w, 1, x0, w_total), out,
+                     0).astype(jnp.int32)
 
 
-def simple_connect_poly(jn):
+def simple_connect_poly(jn, x0=0, w_total=None):
     """1px gap bridging on a junction-degree map (oclpolyline.cl:89-110).
 
     Input is the simpleJunction output; a background pixel becomes set when
@@ -63,10 +69,11 @@ def simple_connect_poly(jn):
     bridge |= ((n(-2, 1) != 0) & (n(-1, 1) == 2) & (n(1, 0) == 2) & (n(2, 0) != 0))
     bridge |= ((n(-2, -1) != 0) & (n(-1, -1) == 2) & (n(1, 0) == 2) & (n(2, 0) != 0))
     out = jnp.where(set0 | bridge, 1, 0)
-    return jnp.where(_interior_mask(h, w, 2), out, 0).astype(jnp.int32)
+    return jnp.where(interior_mask(h, w, 2, x0, w_total), out,
+                     0).astype(jnp.int32)
 
 
-def simple_connect_rect(jn):
+def simple_connect_rect(jn, x0=0, w_total=None):
     """The oclrect.cl:97-121 variant (different bridging patterns)."""
     h, w = jn.shape
     p = pad2d(jn, 1, "zero")
@@ -86,10 +93,11 @@ def simple_connect_rect(jn):
     bridge |= ((n(-1, 1) == 2) & (n(1, 0) == 2))
     bridge |= ((n(-1, -1) == 2) & (n(1, 0) == 2))
     out = jnp.where(set0 | bridge, 1, 0)
-    return jnp.where(_interior_mask(h, w, 2), out, 0).astype(jnp.int32)
+    return jnp.where(interior_mask(h, w, 2, x0, w_total), out,
+                     0).astype(jnp.int32)
 
 
-def stringify(img, parity: int):
+def stringify(img, parity: int, x0=0, w_total=None):
     """Checkerboard corner-thinning (stringify, oclpolyline.cl:112-124).
 
     On pixels of the given checkerboard parity: clear the pixel if it has
@@ -107,22 +115,23 @@ def stringify(img, parity: int):
               ((n(1, 0) != 0) & (n(0, -1) != 0)) |
               ((n(1, 0) != 0) & (n(0, 1) != 0)))
     yy = jnp.arange(h)[:, None]
-    xx = jnp.arange(w)[None, :]
+    xx = jnp.arange(w)[None, :] + x0     # checkerboard is global-x based
     on_parity = ((yy + xx) & 1) == parity
-    clear = on_parity & corner & _interior_mask(h, w, 1)
+    clear = on_parity & corner & interior_mask(h, w, 1, x0, w_total)
     return jnp.where(clear, 0, img).astype(jnp.int32)
 
 
-def remove_branch(img):
+def remove_branch(img, x0=0, w_total=None):
     """Keep only pixels with <= 2 nonzero neighbors (oclpolyline.cl:126-147)."""
     h, w = img.shape
     nz = img != 0
     cnt = _neighbor_count(nz)
     out = jnp.where(nz & (cnt <= 2), 1, 0)
-    return jnp.where(_interior_mask(h, w, 1), out, 0).astype(jnp.int32)
+    return jnp.where(interior_mask(h, w, 1, x0, w_total), out,
+                     0).astype(jnp.int32)
 
 
-def strings_chain(edge_bin, variant: str):
+def strings_chain(edge_bin, variant: str, x0=0, w_total=None):
     """The full edge->strings morphology prefix as one op.
 
     variant "rect": junction -> connect_rect -> stringify x2
@@ -132,14 +141,20 @@ def strings_chain(edge_bin, variant: str):
     On TPU this dispatches to the fused Pallas kernel
     (ops/pallas_morph.py) — the 4-5 stencil chain runs per block in VMEM
     with intermediates never touching HBM; bit-exact vs this composition.
+    x0/w_total (halo-widened width tiles, dist/tile.py) forces the jnp
+    path — border guards then mean the true frame border.
     """
     import jax
-    if jax.default_backend() == "tpu":
+    offset = w_total is not None or not (isinstance(x0, int) and x0 == 0)
+    if jax.default_backend() == "tpu" and not offset:
         from rectdetect_tpu.ops.pallas_morph import morph_chain_pallas
         return morph_chain_pallas(edge_bin, variant)
     if variant == "rect":
         s = stringify(simple_connect_rect(
-            simple_junction(edge_bin, positive_only=True)), 0)
-        return stringify(s, 1)
-    s = stringify(simple_connect_poly(simple_junction(edge_bin)), 0)
-    return remove_branch(stringify(s, 1))
+            simple_junction(edge_bin, positive_only=True, x0=x0,
+                            w_total=w_total), x0, w_total), 0, x0, w_total)
+        return stringify(s, 1, x0, w_total)
+    s = stringify(simple_connect_poly(
+        simple_junction(edge_bin, x0=x0, w_total=w_total), x0, w_total),
+        0, x0, w_total)
+    return remove_branch(stringify(s, 1, x0, w_total), x0, w_total)

@@ -36,12 +36,20 @@ def _coord_maps(h, w):
     return jnp.broadcast_to(yy, (h, w)), jnp.broadcast_to(xx, (h, w))
 
 
-def _blblur_axis(packed, edge, horizontal: bool):
+def _blblur_axis(packed, edge, horizontal: bool, x0=0,
+                 w_total: int | None = None):
     """One blblur0 (horizontal) or blblur1 (vertical) pass
     (oclrect.cl:155-205).  packed: (H,W) int32 packed Lab; edge: (H,W)
-    int32 0/1 (the int8 weak-edge map, oclrect.c:284)."""
+    int32 0/1 (the int8 weak-edge map, oclrect.c:284).
+
+    x0/w_total: global-x of local column 0 and the true frame width, for
+    halo-widened width tiles (dist/tile.py) — the q<0 / q>limit-1 border
+    breaks then fire at the TRUE frame border.  Beyond-frame halo columns
+    never contribute (the break fires first), so any fill is safe."""
     h, w = packed.shape
     yy, xx = _coord_maps(h, w)
+    if w_total is not None or not (isinstance(x0, int) and x0 == 0):
+        xx = xx + x0
     cl, ca, cb = color.unpack_lab_int(packed)
     chans = (cl, ca, cb)
 
@@ -60,10 +68,11 @@ def _blblur_axis(packed, edge, horizontal: bool):
 
     # cross-axis +1 offset used by the diagonal-corner break test
     cross = (1, 0) if horizontal else (0, 1)
+    wt = w if w_total is None else w_total
     coord = xx if horizontal else yy
-    limit = w if horizontal else h
+    limit = wt if horizontal else h
     cross_coord = yy if horizontal else xx
-    cross_limit = h if horizontal else w
+    cross_limit = h if horizontal else wt
 
     oe = ed(0, 0)
     wsum = jnp.zeros((h, w), jnp.int32)
@@ -101,21 +110,26 @@ def _blblur_axis(packed, edge, horizontal: bool):
     return jnp.where(wsum == 0, packed, blurred)
 
 
-def blblur(packed, edge, iters: int = 10):
+def blblur(packed, edge, iters: int = 10, x0=0,
+           w_total: int | None = None):
     """Edge-limited blur: `iters` rounds of horizontal+vertical passes
     (oclrect.c:286-296).
 
     On TPU this dispatches to the blocked Pallas kernel
     (ops/pallas_blblur.py): bit-exact and ~20x faster (17 ms vs 369 ms at
     720p) because Mosaic keeps each pass's shift chain in VMEM instead of
-    materializing padded copies in HBM."""
-    if jax.default_backend() == "tpu":
+    materializing padded copies in HBM.  The x0/w_total offset form
+    (halo-widened width tiles, dist/tile.py) uses the jnp path — the
+    offset is a traced axis_index expression, which the Pallas grid
+    cannot take statically."""
+    offset = w_total is not None or not (isinstance(x0, int) and x0 == 0)
+    if jax.default_backend() == "tpu" and not offset:
         from rectdetect_tpu.ops.pallas_blblur import blblur_pallas_blocked
         return blblur_pallas_blocked(packed, edge, iters)
 
     def body(_, p):
-        p = _blblur_axis(p, edge, True)
-        p = _blblur_axis(p, edge, False)
+        p = _blblur_axis(p, edge, True, x0, w_total)
+        p = _blblur_axis(p, edge, False, x0, w_total)
         return p
     return jax.lax.fori_loop(0, iters, body, packed)
 
@@ -224,7 +238,8 @@ def junction_merge_mask(strong_lbl):
     return merge_mask(simple_junction(strong_lbl, positive_only=True))
 
 
-def _merge_pairs(packed, mask, edge_label):
+def _merge_pairs(packed, mask, edge_label, x0=0,
+                 w_total: int | None = None):
     """Symmetric mergeability of horizontally/vertically adjacent pixels
     under labelMergeMain's rules (oclrect.cl:300-334) plus the
     unconditional labelxPreprocess seed links (oclrect.cl:289-298).
@@ -234,7 +249,9 @@ def _merge_pairs(packed, mask, edge_label):
         edge_label[b] <= 0  AND  (colors equal OR mask[a] OR mask[b])
     with the merging pixel interior; preprocess adds color-equal links
     regardless of edges/masks/interior (up always, left only when the up
-    pixel differs).  Returns (mh (H, W-1), mv (H-1, W)) bool."""
+    pixel differs).  Returns (mh (H, W-1), mv (H-1, W)) bool.
+
+    x0/w_total: interior in TRUE frame coords for width tiles."""
     h, w = packed.shape
     eq_h = packed[:, 1:] == packed[:, :-1]
     eq_v = packed[1:, :] == packed[:-1, :]
@@ -242,9 +259,8 @@ def _merge_pairs(packed, mask, edge_label):
     blocked_h = edge_label[:, 1:] > 0          # edge at the right pixel
     blocked_v = edge_label[1:, :] > 0          # edge at the lower pixel
 
-    yy = jnp.arange(h)[:, None]
-    xx = jnp.arange(w)[None, :]
-    interior = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
+    from rectdetect_tpu.ops.ccl import interior_mask
+    interior = interior_mask(h, w, 1, x0, w_total)
 
     # each directional attempt separately: the merging pixel must be
     # interior and supplies the mask term (oclrect.cl:306-331)
@@ -284,7 +300,8 @@ def _segmented_min_1d(vals, link):
 
 
 def label_merge(packed, mask, edge_label, n_passes: int = 8,
-                n_jumps: int = 8, n_rounds: int = 12):
+                n_jumps: int = 8, n_rounds: int = 12, x0=0,
+                w_total: int | None = None):
     """Region-merge CCL with min-flat-index labels (labelxPreprocess +
     labelMergeMain, oclrect.cl:289-334).
 
@@ -301,11 +318,12 @@ def label_merge(packed, mask, edge_label, n_passes: int = 8,
     (ops/pallas_ccl.py): the same row/column scans run to their fixpoint
     in VMEM, so the result is exact for any region shape and the rounds
     knob disappears."""
-    if jax.default_backend() == "tpu":
+    offset = w_total is not None or not (isinstance(x0, int) and x0 == 0)
+    if jax.default_backend() == "tpu" and not offset:
         from rectdetect_tpu.ops.pallas_ccl import label_merge_exact
         return label_merge_exact(packed, mask, edge_label)
     h, w = packed.shape
-    mh, mv = _merge_pairs(packed, mask, edge_label)
+    mh, mv = _merge_pairs(packed, mask, edge_label, x0, w_total)
     label = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
 
     def one_round(_, label):

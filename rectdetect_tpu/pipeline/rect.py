@@ -215,6 +215,18 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
         boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
                                         cfg.ccl_jumps)
 
+    return rect_geometry_tail(strong_bin, boundary, tan_aov, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def rect_geometry_tail(strong_bin, boundary, tan_aov,
+                       cfg: PipelineConfig = DEFAULT_CONFIG) -> RectResult:
+    """Polylines + hypotheses + pose given the full-frame strong-edge map
+    and boundary labels (oclrect.c:361-381 + executeCPUTask).  Split out
+    so the width-tiled path (dist/tile.py) can run everything before it
+    sharded and this part replicated on the two gathered maps."""
+    ih, iw = strong_bin.shape
+
     # polylines on strong edges (oclrect.c:361)
     with jax.named_scope("polyline"):
         cap = cfg.ls_cap_for(iw, ih)

@@ -1,0 +1,142 @@
+"""Sharded rect-tail stages: exact tile-vs-single-chip equivalence.
+
+The front-end products are computed ONCE single-chip and sharded into the
+tiled stages, so these tests pin the tail's cross-tile machinery (halo
+exchanges, root-table CCL, psum'd component tables) bit-exactly, without
+the known borderline-NMS float flips at tile seams (test_dist.py)."""
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+import pytest
+
+from rectdetect_tpu.config import PipelineConfig
+from rectdetect_tpu.dist import mesh as dmesh
+from rectdetect_tpu.dist import tile as dtile
+from rectdetect_tpu.ops import ccl, morphology, regions
+from rectdetect_tpu.pipeline.frontend import edge_frontend
+from tests.conftest import synth_scene
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+CFG = PipelineConfig(ls_capacity=512, max_groups=16, max_group_segs=16,
+                     number_doublings=10, sparse_factor=0)
+
+
+def _frontend(h, w, seed=7):
+    fe = edge_frontend(jnp.asarray(synth_scene(h=h, w=w, seed=seed)), CFG)
+    return fe.packed0, fe.edge_thin, fe.edge_bin
+
+
+def _single_chip_tail_maps(packed0, edge_thin, edge_bin, cfg=CFG):
+    """The dense single-chip stage sequence of rect_tail up to boundary."""
+    s = morphology.strings_chain(edge_bin, "rect")
+    lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps)
+    st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale)
+    weak = ccl.filter_strength(lbl, st, cfg.strength_weak)
+    weak_bin = (weak > 0).astype(jnp.int32)
+    blurred = regions.blblur(packed0, weak_bin, cfg.blblur_iters)
+    despeck = regions.quantize_despeckle(blurred, edge_thin,
+                                         cfg.quantize_levels,
+                                         cfg.quantize_levels,
+                                         cfg.quantize_levels)
+    strong = ccl.filter_strength(weak, st, cfg.strength_strong)
+    mask = regions.junction_merge_mask(strong)
+    seg = regions.label_merge(despeck, mask, strong,
+                              cfg.labelmerge_passes, cfg.labelmerge_jumps)
+    sizes = regions.label_sizes(seg)
+    seg = regions.despeckle2(seg, sizes, cfg.despeckle2_thre)
+    bmark = regions.mark_boundary(seg)
+    boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
+                                    cfg.ccl_jumps)
+    return dict(strings=s, weak=weak, blurred=blurred, despeck=despeck,
+                strong=strong, mask=mask, seg=seg, bmark=bmark,
+                boundary=boundary)
+
+
+def _tiled_tail_maps(packed0, edge_thin, edge_bin, n_tiles, cfg=CFG):
+    m = dmesh.make_mesh(1, n_tiles)
+
+    @functools.partial(
+        shard_map, mesh=m,
+        in_specs=(P(None, "tile"),) * 3,
+        out_specs={k: P(None, "tile") for k in
+                   ("strings", "weak", "blurred", "despeck", "strong",
+                    "mask", "seg", "bmark", "boundary")},
+        check_vma=False)
+    def run(pk, et, eb):
+        s = dtile.strings_chain_tiled(eb, "rect")
+        glabel = dtile.ccl_tiled(s, 0, n_seam=8, cfg=cfg)
+        st = dtile.calc_strength_tiled(et, glabel, cfg.strength_scale)
+        weak = dtile.filter_strength_tiled(glabel, st, cfg.strength_weak)
+        weak_bin = (weak > 0).astype(jnp.int32)
+        blurred = dtile.blblur_tiled(pk, weak_bin, cfg.blblur_iters)
+        despeck = dtile.quantize_despeckle_tiled(blurred, et, cfg)
+        strong = dtile.filter_strength_tiled(weak, st, cfg.strength_strong)
+        mask = dtile.junction_merge_mask_tiled(strong)
+        seg = dtile.label_merge_tiled(despeck, mask, strong, cfg, 8)
+        sizes = dtile.label_sizes_tiled(seg)
+        seg2 = dtile.despeckle2_tiled(seg, sizes, cfg.despeckle2_thre)
+        bmark = dtile.mark_boundary_tiled(seg2)
+        boundary = dtile.ccl_tiled(bmark, -1, n_seam=8, cfg=cfg)
+        return dict(strings=s, weak=weak, blurred=blurred,
+                    despeck=despeck, strong=strong, mask=mask, seg=seg2,
+                    bmark=bmark, boundary=boundary)
+
+    return jax.jit(run)(packed0, edge_thin, edge_bin)
+
+
+def test_tail_stages_tiled_exact():
+    """Every sharded stage equals its single-chip stage bitwise."""
+    packed0, et, eb = _frontend(48, 32 * 8)
+    ref = {k: np.asarray(v) for k, v in
+           _single_chip_tail_maps(packed0, et, eb).items()}
+    got = {k: np.asarray(v) for k, v in
+           _tiled_tail_maps(packed0, et, eb, 8).items()}
+    for k in ("strings", "weak", "blurred", "despeck", "strong", "mask",
+              "seg", "bmark", "boundary"):
+        np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+
+
+def test_tail_stages_tiled_exact_multihop_halo():
+    """Tiles narrower than the blblur halo force the multi-hop const
+    halo-exchange path; still bit-exact."""
+    packed0, et, eb = _frontend(40, 16 * 8, seed=11)
+    ref = _single_chip_tail_maps(packed0, et, eb)
+    got = _tiled_tail_maps(packed0, et, eb, 8)
+    np.testing.assert_array_equal(np.asarray(got["blurred"]),
+                                  np.asarray(ref["blurred"]))
+    np.testing.assert_array_equal(np.asarray(got["seg"]),
+                                  np.asarray(ref["seg"]))
+    np.testing.assert_array_equal(np.asarray(got["boundary"]),
+                                  np.asarray(ref["boundary"]))
+
+
+def test_rect_tail_tiled_matches_dense_rect_tail():
+    """End-to-end: sharded tail + replicated geometry equals the dense
+    single-chip rect_tail on identical front-end products."""
+    from rectdetect_tpu.pipeline.rect import rect_tail
+    packed0, et, eb = _frontend(48, 32 * 4, seed=3)
+    tan = math.tan(math.radians(72) / 2)
+    ref = rect_tail(packed0, et, eb, tan, CFG)
+
+    m = dmesh.make_mesh(1, 4)
+
+    @functools.partial(shard_map, mesh=m, in_specs=(P(None, "tile"),) * 3,
+                       out_specs=P(), check_vma=False)
+    def run(pk, e_t, e_b):
+        return dtile.rect_tail_tiled(pk, e_t, e_b, tan, CFG)
+
+    got = jax.jit(run)(packed0, et, eb)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(got.c2), np.asarray(ref.c2),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.value),
+                               np.asarray(ref.value), atol=1e-5)
