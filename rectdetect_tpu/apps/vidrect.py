@@ -11,6 +11,9 @@ Usage: python -m rectdetect_tpu.apps.vidrect [device] [input] [output] [AOV]
   input (files only) served across all visible devices through the
   fault-tolerant StreamSupervisor (dist/stream.py); reports aggregate
   frames/s, writes stream 0's annotated output.
+  --tiles=N: width-tile spatial parallelism — each frame is sharded over
+  N chips (halo-exchange stencils, cross-tile CCL; dist/tile.py) for
+  resolutions where one chip can't hold the frame pipeline at rate (4K).
 """
 
 from __future__ import annotations
@@ -25,10 +28,13 @@ def main(argv=None) -> int:
     argv = sys.argv if argv is None else argv
     batch = 0
     streams = 0
+    tiles = 0
     argv = [a for a in argv if not (a.startswith("--batch=") and
                                     (batch := int(a.split("=")[1])) >= 0)]
     argv = [a for a in argv if not (a.startswith("--streams=") and
                                     (streams := int(a.split("=")[1])) >= 0)]
+    argv = [a for a in argv if not (a.startswith("--tiles=") and
+                                    (tiles := int(a.split("=")[1])) >= 0)]
     if len(argv) < 2:
         sys.stderr.write(
             f"Usage : {argv[0]} [device number] [input video file] "
@@ -69,7 +75,12 @@ def main(argv=None) -> int:
     # loadPlan analog (rect.cpp:86 / vidrect.cpp:125): apply persisted
     # per-device calibration if present
     cfg = load_calibrated_config(ih, iw)
-    det = VideoRectDetector(tan_aov, cfg=cfg, device=dev)
+    if tiles > 1:
+        from rectdetect_tpu.pipeline.video import TiledVideoRectDetector
+        det = TiledVideoRectDetector(tan_aov, cfg=cfg, n_tiles=tiles)
+        print(f"width sharded over {tiles} tiles")
+    else:
+        det = VideoRectDetector(tan_aov, cfg=cfg, device=dev)
     meter = FpsMeter()
     frames = [None, None]
     n = 0

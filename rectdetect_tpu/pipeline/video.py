@@ -45,6 +45,54 @@ class VideoRectDetector:
         return live_rects(res)
 
 
+class TiledVideoRectDetector:
+    """enqueue/poll driver for the width-tiled detection step: each
+    frame's width is sharded over `n_tiles` chips (dist/tile.py sharded
+    tail — halo stencils, cross-tile CCL, psum'd tables), the geometry
+    tail runs replicated.  For resolutions (4K+) where one chip can't
+    hold the frame pipeline at rate (SURVEY.md §7 step 7b)."""
+
+    def __init__(self, tan_aov: float, cfg: PipelineConfig = DEFAULT_CONFIG,
+                 n_tiles: int = 2, devices=None):
+        import functools
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from rectdetect_tpu.dist import mesh as dmesh
+        from rectdetect_tpu.dist import tile as dtile
+
+        self._tan = tan_aov
+        self._cfg = cfg
+        self._mesh = dmesh.make_mesh(1, n_tiles, devices)
+        self._n_tiles = n_tiles
+        self._pending = []
+
+        @functools.partial(
+            shard_map, mesh=self._mesh,
+            in_specs=(P(None, "tile", None), P()), out_specs=P(),
+            check_vma=False)
+        def _step(frame_tile, tan):
+            return dtile.rect_step_tiled(frame_tile, tan, cfg=cfg)
+
+        self._step = jax.jit(_step)
+        self._sharding = dmesh.NamedSharding(self._mesh,
+                                             P(None, "tile", None))
+
+    def enqueue(self, bgr: np.ndarray) -> None:
+        w = bgr.shape[1]
+        if w % self._n_tiles:
+            raise ValueError(f"width {w} not divisible by "
+                             f"{self._n_tiles} tiles")
+        frame = jax.device_put(bgr, self._sharding)
+        self._pending.append(self._step(frame, np.float32(self._tan)))
+
+    def poll(self):
+        if not self._pending:
+            return None
+        res = self._pending.pop(0)
+        jax.block_until_ready(res.c2)
+        return live_rects(res)
+
+
 class VideoPolyDetector:
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG,
                  minerror: float = 1.0, size_thre: int = 10,

@@ -57,6 +57,18 @@ def test_vidrect_app_streams(assets, monkeypatch):
     assert os.path.getsize(out) > 0
 
 
+def test_vidrect_app_tiles(assets, monkeypatch):
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    monkeypatch.chdir(assets["dir"])
+    out = os.path.join(assets["dir"], "vrt.avi")
+    from rectdetect_tpu.apps import vidrect
+    assert vidrect.main(["vidrect", "0", assets["vid"], out, "72",
+                         "--tiles=2"]) == 0
+    assert os.path.getsize(out) > 0
+
+
 def test_vidpoly_app(assets, monkeypatch):
     monkeypatch.chdir(assets["dir"])
     out = os.path.join(assets["dir"], "vp.avi")
