@@ -19,10 +19,11 @@ arbitrarily long pixel chains) must cross tile seams.  Mechanisms:
   * per-component tables (strength sums, size histograms): each tile
     scatter-adds its partial into the global-root-indexed table and the
     tables are `psum`ed over the tile axis (integer adds — exact).
-  * the geometry tail (polylines/hypotheses/pose) runs replicated on two
-    all_gather'd maps (strong edges + boundary labels); its pointer
-    doubling over compacted slot lists does not shard cleanly (SURVEY.md
-    §7 step 7) and is small relative to the sharded stages at 4K.
+  * the geometry tail (polylines/hypotheses/pose) runs replicated on
+    two all_gather'd maps (strong edges + boundary labels), EXCEPT the
+    arc walk: its pointer-doubling gathers — the tail's dominant cost —
+    shard by slot range, with one all_gather of the walk table per
+    doubling (chain._doubling_rows).
 
 All functions here run INSIDE shard_map with axis_name "tile".
 """
@@ -381,7 +382,7 @@ def rect_tail_tiled(packed_tile, edge_thin_tile, edge_bin_tile, tan_aov,
 
     sb = lax.all_gather(strong_bin, axis_name, axis=1, tiled=True)
     bd = lax.all_gather(boundary, axis_name, axis=1, tiled=True)
-    return rect_geometry_tail(sb, bd, tan_aov, cfg)
+    return rect_geometry_tail(sb, bd, tan_aov, cfg, axis_name=axis_name)
 
 
 def rect_step_tiled(frame_tile, tan_aov, halo: int = 16,
@@ -391,9 +392,10 @@ def rect_step_tiled(frame_tile, tan_aov, halo: int = 16,
     tile axis (call inside shard_map).
 
     Every stage up to boundary labeling runs sharded (halo-exchange
-    stencils, cross-tile CCL root tables, psum'd component tables); only
-    the geometry tail (polylines -> hypotheses -> pose) is replicated,
-    fed by all_gathers of the strong-edge and boundary maps.  Returns a
+    stencils, cross-tile CCL root tables, psum'd component tables); the
+    geometry tail (polylines -> hypotheses -> pose) runs replicated on
+    all_gathers of the strong-edge and boundary maps, except the arc
+    walk's doubling gathers, which shard by slot range.  Returns a
     full-frame RectResult, identical on every tile rank."""
     et, eb = edge_frontend_tiled(frame_tile, halo, cfg, axis_name)
     if cfg.color_exact:

@@ -35,8 +35,32 @@ this cannot happen.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from rectdetect_tpu.ops.shifts import NEIGH8_REF, pad2d, shifted
+
+
+def _doubling_rows(packed, ptr, axis_name):
+    """One pointer-doubling gather `packed[ptr]`, optionally sharded by
+    slot range over a mesh axis: each device gathers its contiguous slice
+    of states and an all_gather reassembles the (replicated) table.  The
+    walk state stays identical on every device (integer ops on identical
+    inputs), so this divides the dominant random-gather cost by the axis
+    size at the price of one all_gather of the table per doubling —
+    cheap on ICI relative to DRAM-latency-bound row gathers (docs/SOL.md
+    random-row constant)."""
+    if axis_name is None:
+        return packed[ptr]
+    m = ptr.shape[0]
+    n_sh = lax.axis_size(axis_name)
+    chunk = -(-m // n_sh)
+    pad = n_sh * chunk - m
+    ptr_p = jnp.concatenate(
+        [ptr, jnp.zeros((pad,), ptr.dtype)]) if pad else ptr
+    local = lax.dynamic_slice_in_dim(
+        ptr_p, lax.axis_index(axis_name) * chunk, chunk)
+    rows = lax.all_gather(packed[local], axis_name, axis=0, tiled=True)
+    return rows[:m]
 
 
 def chain_neighbors(label):
@@ -205,7 +229,8 @@ def _arc_number_sparse(label, n0, n1, n_doublings: int, cap: int,
     return number.reshape(h, w), e0_full, e1_full
 
 
-def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int):
+def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
+                     axis_name: str | None = None):
     """Arc-length numbering with built-in loop breaking, in one walk.
 
     Replaces the polyline pipeline's strings-CCL -> count_ends ->
@@ -239,6 +264,10 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int):
       live:     (S,) bool slot validity
       cyc:      (S,) bool pixel sits on a cycle (calibration signal for
                 cycle_sparse_factor)
+
+    axis_name: shard the main walk's doubling gathers by slot range over
+    this mesh axis (see _doubling_rows); the tiny cycle re-walk stays
+    replicated.  Output is identical (and replicated) either way.
     """
     h, w = strings.shape
     n = h * w
@@ -270,7 +299,7 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int):
 
     for _ in range(n_doublings):
         packed = jnp.stack([dist, ptr, minv], axis=1)   # one row gather
-        rows = packed[ptr]
+        rows = _doubling_rows(packed, ptr, axis_name)
         dist = dist + rows[:, 0]
         minv = jnp.minimum(minv, rows[:, 2])
         ptr = rows[:, 1]

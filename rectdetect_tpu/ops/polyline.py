@@ -429,7 +429,8 @@ def refine(arena: SegmentArena, label, comp=None):
 
 def polyline_execute(edge_binary, minerror: float, size_thre: int,
                      cap: int, cfg: PipelineConfig = DEFAULT_CONFIG,
-                     return_comp: bool = False):
+                     return_comp: bool = False,
+                     axis_name: str | None = None):
     """Full polyline pipeline: binary edge image -> (SegmentArena, lsid).
 
     Mirrors oclpolyline_execute (oclpolyline.c:218-309): junction ->
@@ -440,6 +441,11 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
     return_comp=True additionally returns the arc-pixel Compaction so the
     hypothesis stage (reduce_ls.pair_bbox_table) can reuse it instead of
     re-prefix-summing the frame; lsid > 0 only at compacted pixels.
+
+    axis_name: shard the arc walk's doubling gathers over this mesh axis
+    (dist/tile.py runs the geometry tail replicated per tile on gathered
+    maps — identical integer inputs, so the capacity-switch predicate
+    below and all walk state stay in lockstep across devices).
     """
     h, w = edge_binary.shape
     sp = (max(4096, h * w // cfg.strings_sparse_factor)
@@ -458,10 +464,11 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
         fg_count = jnp.sum((strings != 0).astype(jnp.int32))
         def small(s):
             return _polyline_tail(s, sp_small, minerror, size_thre, cap,
-                                  cfg)
+                                  cfg, axis_name)
 
         def big(s):
-            return _polyline_tail(s, sp, minerror, size_thre, cap, cfg)
+            return _polyline_tail(s, sp, minerror, size_thre, cap, cfg,
+                                  axis_name)
 
         arena, lsid, comp = jax.lax.cond(fg_count <= sp_small, small, big,
                                          strings)
@@ -470,20 +477,21 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
         return arena, lsid
 
     arena, lsid, comp = _polyline_tail(strings, None, minerror, size_thre,
-                                       cap, cfg)
+                                       cap, cfg, axis_name)
     if return_comp:
         return arena, lsid, comp
     return arena, lsid
 
 
 def _polyline_tail(strings, sp: int | None, minerror: float,
-                   size_thre: int, cap: int, cfg: PipelineConfig):
+                   size_thre: int, cap: int, cfg: PipelineConfig,
+                   axis_name: str | None = None):
     """polyline_execute after stringification, at one slot capacity."""
     h, w = strings.shape
 
     if sp is not None:
         return _polyline_tail_sparse(strings, sp, minerror, size_thre,
-                                     cap, cfg)
+                                     cap, cfg, axis_name)
 
     # Dense reference path (CPU fallback / oracle for the sparse path):
     # the literal stage sequence of oclpolyline.c:218-309.
@@ -506,7 +514,8 @@ def _polyline_tail(strings, sp: int | None, minerror: float,
 
 
 def _polyline_tail_sparse(strings, sp: int, minerror: float,
-                          size_thre: int, cap: int, cfg: PipelineConfig):
+                          size_thre: int, cap: int, cfg: PipelineConfig,
+                          axis_name: str | None = None):
     """Slot-space polyline tail built on ONE walk (chain.arc_chain_sparse).
 
     On a post-removeBranch map every 8-connected component is a single
@@ -533,7 +542,7 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
 
     cyc_cap = max(1024, n // cfg.cycle_sparse_factor)
     number_s, head_s, live, _ = arc_chain_sparse(
-        strings, comp0, cfg.number_doublings, cyc_cap)
+        strings, comp0, cfg.number_doublings, cyc_cap, axis_name)
 
     # ---- arc grouping by chain head (replaces label_arcs + calcSize +
     # filterSize + relabel, all in slot space) ----------------------------

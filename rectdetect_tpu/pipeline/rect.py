@@ -218,13 +218,16 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     return rect_geometry_tail(strong_bin, boundary, tan_aov, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "axis_name"))
 def rect_geometry_tail(strong_bin, boundary, tan_aov,
-                       cfg: PipelineConfig = DEFAULT_CONFIG) -> RectResult:
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       axis_name: str | None = None) -> RectResult:
     """Polylines + hypotheses + pose given the full-frame strong-edge map
     and boundary labels (oclrect.c:361-381 + executeCPUTask).  Split out
     so the width-tiled path (dist/tile.py) can run everything before it
-    sharded and this part replicated on the two gathered maps."""
+    sharded and this part replicated on the two gathered maps —
+    replicated except the arc walk's doubling gathers, which shard by
+    slot range over `axis_name` when given (chain._doubling_rows)."""
     ih, iw = strong_bin.shape
 
     # polylines on strong edges (oclrect.c:361)
@@ -232,7 +235,7 @@ def rect_geometry_tail(strong_bin, boundary, tan_aov,
         cap = cfg.ls_cap_for(iw, ih)
         arena, lsid, plcomp = polyline.polyline_execute(
             strong_bin, cfg.minerror_rect, cfg.size_thre_rect, cap, cfg,
-            return_comp=True)
+            return_comp=True, axis_name=axis_name)
 
     # hypotheses + reduction + pose (oclrect.c:1049-1226, on-chip)
     with jax.named_scope("hypotheses"):
