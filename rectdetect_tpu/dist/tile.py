@@ -96,6 +96,87 @@ def _tile_geom(wl: int, axis_name: str):
     return n, idx, wl * n, idx * wl
 
 
+def _seam_resolve(value, lflat, lcol_root, rcol_root, key_cols,
+                  right_links, dys, n_frame: int, axis_name: str,
+                  extra_rounds: int = 6):
+    """Exact cross-tile component resolution on the seam-node graph.
+
+    Nodes = the two seam columns of every tile (M = n_tiles*2*H, small);
+    same-key nodes (one local component) join star-wise via a
+    representative table, cross-seam adjacency comes from `right_links`.
+    One all_gather replicates the graph, then hook-and-compress min-union
+    runs to the component minimum in O(log M) rounds — worst-case robust
+    (a boustrophedon path crossing every seam H times converges just as
+    fast), unlike per-round seam relaxation whose round count equals the
+    component-hop chain length.
+
+    value/lflat: the local root table and per-pixel local roots.
+    key_cols: (2, H) global component key of my left/right seam columns
+      (n_frame = sentinel for background nodes).
+    right_links: (len(dys), H) — right_links[j, y] links my RIGHT column
+      row y to the right neighbor's LEFT column row y+dys[j]; must be
+      False on the last tile.
+    Returns the updated value table (one scatter-min per side)."""
+    import math as _math
+
+    h = key_cols.shape[1]
+    n_t = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    m = n_t * 2 * h
+    sent_key = jnp.int32(n_frame)
+    sent = jnp.int32(m)
+
+    k_all = lax.all_gather(key_cols, axis_name, axis=0)      # (n_t, 2, h)
+    keys = k_all.reshape(m)
+    node_valid = keys < sent_key
+    ids = jnp.arange(m, dtype=jnp.int32)
+
+    # star edges within each key group
+    rep_t = jnp.full((n_frame + 1,), sent, jnp.int32).at[
+        jnp.clip(keys, 0, n_frame)].min(jnp.where(node_valid, ids, sent))
+    rep = rep_t[jnp.clip(keys, 0, n_frame)]
+    eu = [ids]
+    ev = [jnp.where(node_valid & (rep < sent), rep, ids)]
+
+    if n_t > 1:
+        l_all = lax.all_gather(right_links, axis_name, axis=0)
+        t_ = jnp.arange(n_t - 1, dtype=jnp.int32)[:, None]
+        y_ = jnp.arange(h, dtype=jnp.int32)[None, :]
+        for j, dy in enumerate(dys):
+            yv = y_ + dy
+            ok = (yv >= 0) & (yv < h) & l_all[:-1, j, :]
+            u = (t_ * 2 + 1) * h + y_
+            v = ((t_ + 1) * 2 + 0) * h + jnp.clip(yv, 0, h - 1)
+            eu.append(jnp.where(ok, u, 0).reshape(-1))
+            ev.append(jnp.where(ok, v, 0).reshape(-1))
+    eu = jnp.concatenate(eu)
+    ev = jnp.concatenate(ev)
+
+    parent = ids
+    rounds = max(8, int(_math.ceil(_math.log2(max(m, 2)))) + extra_rounds)
+    for _ in range(rounds):
+        pu = parent[eu]
+        pv = parent[ev]
+        parent = parent.at[eu].min(pv)
+        parent = parent.at[ev].min(pu)
+        parent = parent[parent]
+        parent = parent[parent]
+    for _ in range(4):
+        parent = parent[parent]
+
+    minkey = jnp.full((m,), sent_key, jnp.int32).at[parent].min(
+        jnp.where(node_valid, keys, sent_key))
+    final = minkey[parent]
+
+    my_l = lax.dynamic_slice_in_dim(final, (idx * 2 + 0) * h, h)
+    my_r = lax.dynamic_slice_in_dim(final, (idx * 2 + 1) * h, h)
+    lv = jnp.where(key_cols[0] < sent_key, my_l, sent_key)
+    rv = jnp.where(key_cols[1] < sent_key, my_r, sent_key)
+    value = value.at[lcol_root].min(lv, mode="drop")
+    value = value.at[rcol_root].min(rv, mode="drop")
+    return value
+
+
 def edge_frontend_tiled(bgr_tile, halo: int = 16,
                         cfg: PipelineConfig = DEFAULT_CONFIG,
                         axis_name: str = "tile"):
@@ -210,9 +291,12 @@ def label_merge_tiled(despeck, mask, strong_lbl,
                       n_seam: int = 8, axis_name: str = "tile"):
     """Region-merge CCL across width tiles (labelMergeMain,
     oclrect.cl:300-334): local scan-flood fixpoint over LOCAL indices,
-    then root-table seam rounds over the 4-connected cross-seam link
-    (the same link predicate _merge_pairs uses in-tile, evaluated on the
-    exchanged seam columns).  Returns GLOBAL min-flat-index labels."""
+    then the exact seam-graph resolve over the 4-connected cross-seam
+    link (the same predicate _merge_pairs uses in-tile, evaluated on the
+    exchanged seam columns).  Returns GLOBAL min-flat-index labels.
+    n_seam is accepted for API compatibility (the resolve is exact
+    regardless of seam-crossing counts)."""
+    del n_seam
     h, wl = despeck.shape
     n_t, idx, w, xg0 = _tile_geom(wl, axis_name)
     gsent = jnp.int32(h * w)
@@ -228,56 +312,34 @@ def label_merge_tiled(despeck, mask, strong_lbl,
     value = jnp.full((h * wl,), gsent, jnp.int32)
     value = value.at[lflat].min(gidx)               # global idx of each root
 
-    left_src = [(i, (i + 1) % n_t) for i in range(n_t)]
     right_src = [((i + 1) % n_t, i) for i in range(n_t)]
 
-    def cols(a):
-        return a[:, -1], a[:, 0]
-
-    dsp_l, dsp_f = cols(despeck)
-    msk_l, msk_f = cols(mask)
-    edg_l, edg_f = cols(strong_lbl)
-    # up-equality of a column (for the preprocess seed, oclrect.cl:293-296)
-    def up_eq(col):
-        return jnp.concatenate([jnp.zeros((1,), bool), col[1:] == col[:-1]])
+    dsp_l = despeck[:, -1]
+    msk_l = mask[:, -1]
+    dsp_f, msk_f, edg_f = despeck[:, 0], mask[:, 0], strong_lbl[:, 0]
+    # up-equality of the right column (preprocess seed, oclrect.cl:293-296)
+    up_eq_f = jnp.concatenate([jnp.zeros((1,), bool),
+                               dsp_f[1:] == dsp_f[:-1]])
     y_int = (jnp.arange(h) >= 1) & (jnp.arange(h) < h - 1)
 
-    def link(dsp_a, msk_a, dsp_b, msk_b, edg_b, upeq_b):
-        """mergeability of seam pair (a = left pixel, b = right pixel);
-        both sit at seam columns, so frame-x interiority always holds and
-        interior reduces to the y bounds."""
-        eq = dsp_a == dsp_b
-        blocked = edg_b > 0
-        main = ~blocked & ((y_int & (eq | (msk_a != 0))) |
-                           (y_int & (eq | (msk_b != 0))))
-        seed = eq & ~upeq_b
-        return main | seed
-
-    # static column data crosses once
-    from_left = lax.ppermute(
-        jnp.stack([dsp_l, msk_l.astype(jnp.int32)]), axis_name, left_src)
+    # the right neighbor's first-column data, received once
     from_right = lax.ppermute(
         jnp.stack([dsp_f, msk_f.astype(jnp.int32), edg_f,
-                   up_eq(dsp_f).astype(jnp.int32)]), axis_name, right_src)
-    link_r = link(dsp_l, msk_l, from_right[0], from_right[1],
-                  from_right[2], from_right[3] != 0) & (idx < n_t - 1)
-    link_l = link(from_left[0], from_left[1], dsp_f, msk_f, edg_f,
-                  up_eq(dsp_f)) & (idx > 0)
+                   up_eq_f.astype(jnp.int32)]), axis_name, right_src)
+    # mergeability of seam pair (a = my last column, b = neighbor's first
+    # column); both sit at seam columns, so frame-x interiority always
+    # holds and interior reduces to the y bounds
+    eq = dsp_l == from_right[0]
+    blocked = from_right[2] > 0
+    main = ~blocked & y_int & (eq | (msk_l != 0) | (from_right[1] != 0))
+    seed = eq & (from_right[3] == 0)
+    link_r = (main | seed) & (idx < n_t - 1)
 
-    lcol_root = lflat.reshape(h, wl)[:, 0]
-    rcol_root = lflat.reshape(h, wl)[:, -1]
-
-    def seam_round(_, value):
-        glabel = value[lflat].reshape(h, wl)
-        gl_from_left = lax.ppermute(glabel[:, -1], axis_name, left_src)
-        gl_from_right = lax.ppermute(glabel[:, 0], axis_name, right_src)
-        rbest = jnp.where(link_r, gl_from_right, gsent)
-        lbest = jnp.where(link_l, gl_from_left, gsent)
-        value = value.at[rcol_root].min(rbest)
-        value = value.at[lcol_root].min(lbest)
-        return value
-
-    value = lax.fori_loop(0, n_seam, seam_round, value)
+    glabel = value[lflat].reshape(h, wl)
+    key_cols = jnp.stack([glabel[:, 0], glabel[:, -1]])
+    value = _seam_resolve(value, lflat, lflat.reshape(h, wl)[:, 0],
+                          lflat.reshape(h, wl)[:, -1], key_cols,
+                          link_r[None, :], (0,), h * w, axis_name)
     return value[lflat].reshape(h, wl)
 
 
@@ -434,8 +496,11 @@ def ccl_tiled(pix_tile, bgc: int, n_seam: int,
 
     pix_tile: (H, Wl).  Returns GLOBAL flat-index labels (y * W +
     x_global), -1 background — identical to the single-chip
-    label_components on the stitched frame once converged.
+    label_components on the stitched frame.  n_seam is accepted for API
+    compatibility (the seam-graph resolve is exact regardless of
+    seam-crossing counts).
     """
+    del n_seam
     h, wl = pix_tile.shape
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
@@ -454,42 +519,27 @@ def ccl_tiled(pix_tile, bgc: int, n_seam: int,
     value = value.at[lflat].min(jnp.where(lflat < h * wl, gidx, gsent),
                                 mode="drop")
 
-    left_src = [(i, (i + 1) % n) for i in range(n)]
+    # 3. exact seam-graph resolve: 8-connected equal-value adjacency
+    # between my right column and the neighbor's left column
     right_src = [((i + 1) % n, i) for i in range(n)]
     fg = (pix_tile != bgc)
-    lcol_root = lflat.reshape(h, wl)[:, 0]
-    rcol_root = lflat.reshape(h, wl)[:, -1]
+    pix_r = pix_tile[:, -1].astype(jnp.int32)
+    nb = lax.ppermute(
+        jnp.stack([pix_tile[:, 0].astype(jnp.int32),
+                   fg[:, 0].astype(jnp.int32)]), axis_name, right_src)
+    dys = (-1, 0, 1)
+    links = []
+    for dy in dys:
+        nb_pix = jnp.roll(nb[0], -dy)
+        nb_fg = jnp.roll(nb[1], -dy) != 0
+        links.append((nb_pix == pix_r) & nb_fg & fg[:, -1])
+    right_links = jnp.stack(links) & (idx < n - 1)
 
-    def seam_round(_, value):
-        glabel = value[lflat].reshape(h, wl)
-        lcol = jnp.stack([glabel[:, -1],
-                          pix_tile[:, -1].astype(jnp.int32)])
-        rcol = jnp.stack([glabel[:, 0],
-                          pix_tile[:, 0].astype(jnp.int32)])
-        from_left = lax.ppermute(lcol, axis_name, left_src)
-        from_right = lax.ppermute(rcol, axis_name, right_src)
-
-        def seam_cand(nb, own_pix, own_glb, active):
-            best = own_glb
-            for dy in (-1, 0, 1):
-                nl = jnp.roll(nb[0], dy)
-                np_ = jnp.roll(nb[1], dy)
-                ok = (np_ == own_pix)
-                if dy == 1:
-                    ok = ok.at[0].set(False)
-                if dy == -1:
-                    ok = ok.at[-1].set(False)
-                best = jnp.minimum(best, jnp.where(ok & active, nl, gsent))
-            return best
-
-        lbest = seam_cand(from_left, pix_tile[:, 0].astype(jnp.int32),
-                          glabel[:, 0], (idx > 0) & fg[:, 0])
-        rbest = seam_cand(from_right, pix_tile[:, -1].astype(jnp.int32),
-                          glabel[:, -1], (idx < n - 1) & fg[:, -1])
-        value = value.at[lcol_root].min(lbest, mode="drop")
-        value = value.at[rcol_root].min(rbest, mode="drop")
-        return value
-
-    value = lax.fori_loop(0, n_seam, seam_round, value)
+    glabel0 = value[lflat].reshape(h, wl)
+    key_cols = jnp.stack([jnp.where(fg[:, 0], glabel0[:, 0], gsent),
+                          jnp.where(fg[:, -1], glabel0[:, -1], gsent)])
+    value = _seam_resolve(value, lflat, lflat.reshape(h, wl)[:, 0],
+                          lflat.reshape(h, wl)[:, -1], key_cols,
+                          right_links, dys, h * w, axis_name)
     glabel = value[lflat].reshape(h, wl)
     return jnp.where(fg, glabel, -1)

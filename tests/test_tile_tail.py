@@ -118,6 +118,35 @@ def test_tail_stages_tiled_exact_multihop_halo():
                                   np.asarray(ref["boundary"]))
 
 
+def test_ccl_tiled_boustrophedon_exact():
+    """A single serpentine component crossing every seam ~H/2 times: the
+    seam-graph resolve must converge exactly (per-round seam relaxation
+    would need one round per crossing)."""
+    from rectdetect_tpu.ops.ccl import label_components
+
+    h, wl, nt = 48, 16, 8
+    w = wl * nt
+    pix = np.zeros((h, w), np.int32)
+    # boustrophedon: full rows joined by alternating end columns
+    for r, y in enumerate(range(2, h - 2, 2)):
+        pix[y, 1:w - 1] = 1
+        col = w - 2 if r % 2 == 0 else 1
+        if y + 2 < h - 2:
+            pix[y + 1, col] = 1
+    ref = np.asarray(label_components(jnp.asarray(pix), 0, 24, 8))
+    assert len(np.unique(ref[ref >= 0])) == 1     # one component
+
+    m = dmesh.make_mesh(1, nt)
+
+    @functools.partial(shard_map, mesh=m, in_specs=P(None, "tile"),
+                       out_specs=P(None, "tile"), check_vma=False)
+    def run(tile):
+        return dtile.ccl_tiled(tile, 0, n_seam=1)
+
+    got = np.asarray(jax.jit(run)(jnp.asarray(pix)))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_rect_tail_tiled_matches_dense_rect_tail():
     """End-to-end: sharded tail + replicated geometry equals the dense
     single-chip rect_tail on identical front-end products."""
