@@ -75,10 +75,19 @@ def main(argv=None) -> int:
     # loadPlan analog (rect.cpp:86 / vidrect.cpp:125): apply persisted
     # per-device calibration if present
     cfg = load_calibrated_config(ih, iw)
+    if tiles > 1 and (streams > 1 or batch > 1):
+        sys.exit("--tiles cannot be combined with --streams/--batch")
     if tiles > 1:
+        import jax
+        devs = jax.devices()
+        if did + tiles > len(devs):
+            sys.exit(f"--tiles={tiles} from device {did} needs "
+                     f"{did + tiles} devices, have {len(devs)}")
         from rectdetect_tpu.pipeline.video import TiledVideoRectDetector
-        det = TiledVideoRectDetector(tan_aov, cfg=cfg, n_tiles=tiles)
-        print(f"width sharded over {tiles} tiles")
+        det = TiledVideoRectDetector(tan_aov, cfg=cfg, n_tiles=tiles,
+                                     devices=devs[did:did + tiles])
+        print(f"width sharded over {tiles} tiles "
+              f"(devices {did}..{did + tiles - 1})")
     else:
         det = VideoRectDetector(tan_aov, cfg=cfg, device=dev)
     meter = FpsMeter()

@@ -74,18 +74,36 @@ def halo_exchange_w(x, halo: int, axis_name: str = "tile",
         right = jnp.where(idx == n - 1, rpad, from_right)
         return jnp.concatenate([left, x, right], axis=-1)
 
-    k = -(-halo // wl)  # hops needed on each side
+    # hop d contributes c_d columns; hops past the mesh edge are pure
+    # fill (no ppermute issued)
     fillv = jnp.asarray(fill_value, x.dtype)
+    hops = []                         # (d, c_d), nearest first
+    rem = halo
+    d = 1
+    while rem > 0:
+        hops.append((d, min(wl, rem)))
+        rem -= min(wl, rem)
+        d += 1
+
+    def fill_of(c):
+        return jnp.broadcast_to(fillv, x.shape[:-1] + (c,))
+
     lparts = []
     rparts = []
-    for d in range(k, 0, -1):
-        blk = _fetch_from(x, d, axis_name)
-        lparts.append(jnp.where(idx - d >= 0, blk, fillv))
-    for d in range(1, k + 1):
-        blk = _fetch_from(x, -d, axis_name)
-        rparts.append(jnp.where(idx + d <= n - 1, blk, fillv))
-    left = jnp.concatenate(lparts, axis=-1)[..., -halo:]
-    right = jnp.concatenate(rparts, axis=-1)[..., :halo]
+    for d, c in reversed(hops):       # farthest tile leftmost
+        if d > n - 1:
+            lparts.append(fill_of(c))
+        else:
+            blk = _fetch_from(x[..., -c:], d, axis_name)
+            lparts.append(jnp.where(idx - d >= 0, blk, fillv))
+    for d, c in hops:                 # nearest tile leftmost
+        if d > n - 1:
+            rparts.append(fill_of(c))
+        else:
+            blk = _fetch_from(x[..., :c], -d, axis_name)
+            rparts.append(jnp.where(idx + d <= n - 1, blk, fillv))
+    left = jnp.concatenate(lparts, axis=-1)
+    right = jnp.concatenate(rparts, axis=-1)
     return jnp.concatenate([left, x, right], axis=-1)
 
 
@@ -240,7 +258,7 @@ def filter_strength_tiled(glabel, strength, thre: int,
     return jnp.where(inter.reshape(-1) & kill, -1, lbl).reshape(h, wl)
 
 
-def blblur_tiled(packed, edge, iters: int = 10, halo: int = 56,
+def blblur_tiled(packed, edge, iters: int = 10, halo: int | None = None,
                  axis_name: str = "tile"):
     """Edge-limited blur on a width tile.  One exchange up front: the
     horizontal pass reaches ±5 columns per iteration (window ±4, break
@@ -248,6 +266,8 @@ def blblur_tiled(packed, edge, iters: int = 10, halo: int = 56,
     column across, so halo >= 5*iters + 5 makes the crop exact.  The
     q<0 / q>limit-1 border breaks run in global coords (x0/w_total), so
     beyond-frame fill never contributes."""
+    if halo is None:
+        halo = 5 * iters + 6          # exactness bound; 56 at iters=10
     h, wl = packed.shape
     _, _, w, xg0 = _tile_geom(wl, axis_name)
     wp = halo_exchange_w(packed, halo, axis_name, fill="const")
@@ -266,9 +286,9 @@ def quantize_despeckle_tiled(blurred, edge_thin, cfg: PipelineConfig,
     wp = halo_exchange_w(blurred, halo, axis_name, fill="const")
     we = halo_exchange_w(edge_thin, halo, axis_name, fill="const",
                          fill_value=1e9)
-    q = regions.quantize_packed(wp, cfg.quantize_levels,
-                                cfg.quantize_levels, cfg.quantize_levels)
-    out = regions.despeckle(q, we)
+    out = regions.quantize_despeckle(wp, we, cfg.quantize_levels,
+                                     cfg.quantize_levels,
+                                     cfg.quantize_levels)
     return out[..., halo:-halo]
 
 
@@ -280,23 +300,20 @@ def junction_merge_mask_tiled(strong_lbl, axis_name: str = "tile"):
     _, _, w, xg0 = _tile_geom(wl, axis_name)
     wide = halo_exchange_w(strong_lbl, halo, axis_name, fill="const",
                            fill_value=-1)
-    jn = morphology.simple_junction(wide, positive_only=True,
-                                    x0=xg0 - halo, w_total=w)
-    m = regions.merge_mask(jn)
+    m = regions.junction_merge_mask(wide, x0=xg0 - halo, w_total=w)
     return m[..., halo:-halo]
 
 
 def label_merge_tiled(despeck, mask, strong_lbl,
                       cfg: PipelineConfig = DEFAULT_CONFIG,
-                      n_seam: int = 8, axis_name: str = "tile"):
+                      axis_name: str = "tile"):
     """Region-merge CCL across width tiles (labelMergeMain,
-    oclrect.cl:300-334): local scan-flood fixpoint over LOCAL indices,
-    then the exact seam-graph resolve over the 4-connected cross-seam
-    link (the same predicate _merge_pairs uses in-tile, evaluated on the
-    exchanged seam columns).  Returns GLOBAL min-flat-index labels.
-    n_seam is accepted for API compatibility (the resolve is exact
-    regardless of seam-crossing counts)."""
-    del n_seam
+    oclrect.cl:300-334): local fixpoint over LOCAL indices, then the
+    exact seam-graph resolve over the 4-connected cross-seam link —
+    computed by _merge_pairs itself on the exchanged two-column seam
+    strip, so the predicate has a single source of truth.  Returns
+    GLOBAL min-flat-index labels.
+    """
     h, wl = despeck.shape
     n_t, idx, w, xg0 = _tile_geom(wl, axis_name)
     gsent = jnp.int32(h * w)
@@ -314,26 +331,23 @@ def label_merge_tiled(despeck, mask, strong_lbl,
 
     right_src = [((i + 1) % n_t, i) for i in range(n_t)]
 
-    dsp_l = despeck[:, -1]
-    msk_l = mask[:, -1]
-    dsp_f, msk_f, edg_f = despeck[:, 0], mask[:, 0], strong_lbl[:, 0]
-    # up-equality of the right column (preprocess seed, oclrect.cl:293-296)
-    up_eq_f = jnp.concatenate([jnp.zeros((1,), bool),
-                               dsp_f[1:] == dsp_f[:-1]])
-    y_int = (jnp.arange(h) >= 1) & (jnp.arange(h) < h - 1)
-
-    # the right neighbor's first-column data, received once
+    # the right neighbor's first-column data, received once; the seam
+    # link is then _merge_pairs on the two-column strip [my last col |
+    # neighbor's first col] with the strip's global x — identical rules
+    # to the in-tile links by construction.  The up-equality the
+    # preprocess seed needs (oclrect.cl:293-296) is a property of column
+    # b alone, so it crosses precomputed (the strip's own up-shift of
+    # column b matches: up_eq is columnwise).
     from_right = lax.ppermute(
-        jnp.stack([dsp_f, msk_f.astype(jnp.int32), edg_f,
-                   up_eq_f.astype(jnp.int32)]), axis_name, right_src)
-    # mergeability of seam pair (a = my last column, b = neighbor's first
-    # column); both sit at seam columns, so frame-x interiority always
-    # holds and interior reduces to the y bounds
-    eq = dsp_l == from_right[0]
-    blocked = from_right[2] > 0
-    main = ~blocked & y_int & (eq | (msk_l != 0) | (from_right[1] != 0))
-    seed = eq & (from_right[3] == 0)
-    link_r = (main | seed) & (idx < n_t - 1)
+        jnp.stack([despeck[:, 0], mask[:, 0], strong_lbl[:, 0]]),
+        axis_name, right_src)
+    strip_p = jnp.stack([despeck[:, -1], from_right[0]], axis=1)
+    strip_m = jnp.stack([mask[:, -1], from_right[1]], axis=1)
+    strip_e = jnp.stack([strong_lbl[:, -1], from_right[2]], axis=1)
+    seam_x = (idx + 1) * wl - 1
+    mh_strip, _ = regions._merge_pairs(strip_p, strip_m, strip_e,
+                                       x0=seam_x, w_total=w)
+    link_r = mh_strip[:, 0] & (idx < n_t - 1)
 
     glabel = value[lflat].reshape(h, wl)
     key_cols = jnp.stack([glabel[:, 0], glabel[:, -1]])
@@ -405,20 +419,15 @@ def mark_boundary_tiled(glabel, axis_name: str = "tile"):
 
 def rect_tail_tiled(packed_tile, edge_thin_tile, edge_bin_tile, tan_aov,
                     cfg: PipelineConfig = DEFAULT_CONFIG,
-                    n_seam: int | None = None, axis_name: str = "tile"):
+                    axis_name: str = "tile"):
     """The full rect tail with every stage before the geometry tail
     sharded over width tiles (matches pipeline/rect.rect_tail with the
     dense/exact labeling path).  The polyline/hypothesis/pose tail runs
     replicated on the two gathered maps."""
     from rectdetect_tpu.pipeline.rect import rect_geometry_tail
 
-    h, wl = packed_tile.shape
-    n_t, _, w, _ = _tile_geom(wl, axis_name)
-    if n_seam is None:
-        n_seam = 8
-
     s = strings_chain_tiled(edge_bin_tile, "rect", axis_name=axis_name)
-    glabel = ccl_tiled(s, 0, n_seam=n_seam, cfg=cfg, axis_name=axis_name)
+    glabel = ccl_tiled(s, 0, cfg=cfg, axis_name=axis_name)
     st = calc_strength_tiled(edge_thin_tile, glabel, cfg.strength_scale,
                              axis_name)
     weak = filter_strength_tiled(glabel, st, cfg.strength_weak, axis_name)
@@ -434,13 +443,12 @@ def rect_tail_tiled(packed_tile, edge_thin_tile, edge_bin_tile, tan_aov,
     strong_bin = (strong > 0).astype(jnp.int32)
 
     mask = junction_merge_mask_tiled(strong, axis_name)
-    seg = label_merge_tiled(despeck, mask, strong, cfg, n_seam, axis_name)
+    seg = label_merge_tiled(despeck, mask, strong, cfg, axis_name)
     sizes = label_sizes_tiled(seg, axis_name)
     seg = despeckle2_tiled(seg, sizes, cfg.despeckle2_thre, axis_name)
 
     bmark = mark_boundary_tiled(seg, axis_name)
-    boundary = ccl_tiled(bmark, -1, n_seam=n_seam, cfg=cfg,
-                         axis_name=axis_name)
+    boundary = ccl_tiled(bmark, -1, cfg=cfg, axis_name=axis_name)
 
     sb = lax.all_gather(strong_bin, axis_name, axis=1, tiled=True)
     bd = lax.all_gather(boundary, axis_name, axis=1, tiled=True)
@@ -489,18 +497,16 @@ def rect_step_tiled_gather(frame_tile, tan_aov, halo: int = 16,
     return rect_tail(packed, etf, ebf, tan_aov, cfg)
 
 
-def ccl_tiled(pix_tile, bgc: int, n_seam: int,
+def ccl_tiled(pix_tile, bgc: int,
               cfg: PipelineConfig = DEFAULT_CONFIG,
               axis_name: str = "tile"):
     """8-connected equal-value CCL across width tiles.
 
     pix_tile: (H, Wl).  Returns GLOBAL flat-index labels (y * W +
     x_global), -1 background — identical to the single-chip
-    label_components on the stitched frame.  n_seam is accepted for API
-    compatibility (the seam-graph resolve is exact regardless of
-    seam-crossing counts).
+    label_components on the stitched frame (the seam-graph resolve is
+    exact regardless of seam-crossing counts).
     """
-    del n_seam
     h, wl = pix_tile.shape
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from rectdetect_tpu.ops.shifts import NEIGH8, pad2d, shifted
-from rectdetect_tpu.ops.ccl import _interior_mask, interior_mask
+from rectdetect_tpu.ops.ccl import interior_mask
 
 
 def _neighbor_count(nz):
@@ -140,15 +140,16 @@ def strings_chain(edge_bin, variant: str, x0=0, w_total=None):
 
     On TPU this dispatches to the fused Pallas kernel
     (ops/pallas_morph.py) — the 4-5 stencil chain runs per block in VMEM
-    with intermediates never touching HBM; bit-exact vs this composition.
-    x0/w_total (halo-widened width tiles, dist/tile.py) forces the jnp
-    path — border guards then mean the true frame border.
+    with intermediates never touching HBM; bit-exact vs this composition,
+    including the x0/w_total offset form (halo-widened width tiles,
+    dist/tile.py: border guards and the stringify checkerboard are
+    frame-global via a column-map kernel input).
     """
     import jax
-    offset = w_total is not None or not (isinstance(x0, int) and x0 == 0)
-    if jax.default_backend() == "tpu" and not offset:
+    if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_morph import morph_chain_pallas
-        return morph_chain_pallas(edge_bin, variant)
+        return morph_chain_pallas(edge_bin, variant, x0=x0,
+                                  w_total=w_total)
     if variant == "rect":
         s = stringify(simple_connect_rect(
             simple_junction(edge_bin, positive_only=True, x0=x0,

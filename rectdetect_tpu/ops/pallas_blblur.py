@@ -148,11 +148,13 @@ def blblur_pallas(packed, edge, iters: int = 10):
 # no halo DMA anywhere.
 # ---------------------------------------------------------------------------
 
-def _axis_pass_blocked(cl, ca, cb, edge, edge_cross, coord, horizontal):
+def _axis_pass_blocked(cl, ca, cb, edge, edge_cross, coord, horizontal,
+                       limit_len: int):
     """One scan-axis pass on a block that spans the full scan axis.
-    coord: global scan-axis coordinate map (same shape as the block)."""
+    coord: global scan-axis coordinate map (same shape as the block;
+    offset by the tile origin in the width-tiled path).  limit_len: the
+    TRUE frame extent along the scan axis."""
     h, w = edge.shape
-    limit_len = w if horizontal else h
 
     def off(k):
         return (0, k) if horizontal else (k, 0)
@@ -201,19 +203,17 @@ def _axis_pass_blocked(cl, ca, cb, edge, edge_cross, coord, horizontal):
     return out[0], out[1], out[2]
 
 
-def _pass_kernel(packed_ref, edge_ref, ecross_ref, out_ref, *,
-                 horizontal: bool):
+def _pass_kernel(packed_ref, edge_ref, ecross_ref, coord_ref, out_ref,
+                 *, horizontal: bool, limit_len: int):
     packed = packed_ref[:]
     edge = edge_ref[:]
     ecross = ecross_ref[:]
-    h, w = edge.shape
-    coord = jax.lax.broadcasted_iota(jnp.int32, (h, w),
-                                     1 if horizontal else 0)
+    coord = coord_ref[:]
     cl = packed & 4095
     ca = (packed >> 12) & 1023
     cb = (packed >> 22) & 1023
     cl, ca, cb = _axis_pass_blocked(cl, ca, cb, edge, ecross, coord,
-                                    horizontal)
+                                    horizontal, limit_len)
     out_ref[:] = (jnp.clip(cb, 0, 1023) << 22) | \
         (jnp.clip(ca, 0, 1023) << 12) | jnp.clip(cl, 0, 4095)
 
@@ -230,8 +230,8 @@ _BLOCK_ELEMS = 64 * 1280
 _TALL_H = 1280
 
 
-def _one_pass(packed, edge, ecross, horizontal: bool, block: int,
-              interpret: bool):
+def _one_pass(packed, edge, ecross, coord, horizontal: bool, block: int,
+              interpret: bool, limit_len: int):
     h, w = packed.shape
     if horizontal:
         rows = max(8, min(h, (_BLOCK_ELEMS // w) // 8 * 8))
@@ -245,23 +245,39 @@ def _one_pass(packed, edge, ecross, horizontal: bool, block: int,
         imap = lambda i: (0, i)
     spec = pl.BlockSpec(bs, imap, memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_pass_kernel, horizontal=horizontal),
+        functools.partial(_pass_kernel, horizontal=horizontal,
+                          limit_len=limit_len),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
         grid=grid,
-        in_specs=[spec, spec, spec],
+        in_specs=[spec, spec, spec, spec],
         out_specs=spec,
         interpret=interpret,
-    )(packed, edge, ecross)
+    )(packed, edge, ecross, coord)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "block"))
-def blblur_pallas_blocked(packed, edge, iters: int = 10, block: int = 128):
+@functools.partial(jax.jit, static_argnames=("iters", "block", "w_total"))
+def blblur_pallas_blocked(packed, edge, iters: int = 10, block: int = 128,
+                          x0=0, w_total: int | None = None):
     """Production Pallas blblur: 2*iters no-halo blocked passes; bit-exact
-    vs regions.blblur (tests/test_pallas.py)."""
+    vs regions.blblur (tests/test_pallas.py).
+
+    x0/w_total (halo-widened width tiles, dist/tile.py): only the
+    horizontal pass is x-border-sensitive; its coordinate map enters as a
+    kernel input (x0 is a traced axis_index expression, so it cannot be a
+    static grid parameter) and the q>limit break tests the TRUE frame
+    width.  The cross-shift guards encode y<ih-1 / x<iw-1: the x guard
+    belongs to the LAST tile only, whose widened array ends at (or
+    beyond) the frame edge with zero fill — the fill supplies the same 0
+    the guard would.  The vertical pass never reads x coordinates."""
     interpret = jax.default_backend() not in ("tpu",)
     p = packed.astype(jnp.int32)
     e = edge.astype(jnp.int32)
     h, w = e.shape
+    wt = w if w_total is None else w_total
+    coord_h = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.int32)[None, :] + x0, (h, w))
+    coord_v = jnp.broadcast_to(
+        jnp.arange(h, dtype=jnp.int32)[:, None], (h, w))
     # cross-shifted edge maps, zero beyond the frame (encodes the
     # y<ih-1 / x<iw-1 guards of oclrect.cl:166/186)
     e_down = jnp.zeros_like(e).at[:h - 1, :].set(e[1:, :])
@@ -270,10 +286,13 @@ def blblur_pallas_blocked(packed, edge, iters: int = 10, block: int = 128):
     if tall:
         e_t = e.T
         e_right_t = e_right.T         # == down-shift of e.T
+        coord_v_t = coord_v.T
     for _ in range(iters):
-        p = _one_pass(p, e, e_down, True, block, interpret)
+        p = _one_pass(p, e, e_down, coord_h, True, block, interpret, wt)
         if tall:
-            p = _one_pass(p.T, e_t, e_right_t, True, block, interpret).T
+            p = _one_pass(p.T, e_t, e_right_t, coord_v_t, True, block,
+                          interpret, h).T
         else:
-            p = _one_pass(p, e, e_right, False, block, interpret)
+            p = _one_pass(p, e, e_right, coord_v, False, block, interpret,
+                          h)
     return p

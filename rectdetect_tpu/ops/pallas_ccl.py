@@ -600,11 +600,16 @@ def label_links_blocked(lh, lv, bh: int | None = None):
     return _run_links_blocks(lh, lv, seed, bh=bh, interpret=interpret)
 
 
-def label_merge_exact(packed, mask, edge_label, bh: int | None = None):
-    """Drop-in exact replacement for regions.label_merge."""
+def label_merge_exact(packed, mask, edge_label, bh: int | None = None,
+                      x0=0, w_total: int | None = None):
+    """Drop-in exact replacement for regions.label_merge.
+
+    x0/w_total (width tiles, dist/tile.py): only the LINK construction is
+    border-sensitive; the Pallas flood consumes links verbatim, so the
+    offset form is exactly as exact as the default."""
     from rectdetect_tpu.ops.regions import _merge_pairs
     h, w = packed.shape
-    mh, mv = _merge_pairs(packed, mask, edge_label)
+    mh, mv = _merge_pairs(packed, mask, edge_label, x0, w_total)
     lh = jnp.zeros((h, w), jnp.int32).at[:, :w - 1].set(
         mh.astype(jnp.int32))
     lv = jnp.zeros((h, w), jnp.int32).at[:h - 1, :].set(

@@ -34,8 +34,12 @@ _HALO = 8          # chain depth 4-5; 8 keeps the i32 sublane tiling happy
 _BLOCK_ROWS = 128
 
 
-def _morph_kernel(top_ref, bot_ref, out_ref, *, h: int, w: int, bh: int,
-                  variant: str):
+def _morph_kernel(top_ref, bot_ref, xg_ref, out_ref, *, h: int, w: int,
+                  bh: int, variant: str, wt: int):
+    """wt / xg_ref: TRUE frame width and per-column global x (equal to
+    the local column index in the single-chip case) — the interior masks
+    and the stringify checkerboard are frame-global, so a halo-widened
+    width tile (dist/tile.py) passes its offset column map here."""
     blk = pl.program_id(0)
     q = _HALO
     eh = bh + 2 * q
@@ -45,6 +49,7 @@ def _morph_kernel(top_ref, bot_ref, out_ref, *, h: int, w: int, bh: int,
 
     ly = jax.lax.broadcasted_iota(jnp.int32, (eh, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (eh, w), 1)
+    xg = xg_ref[:]                         # (1, w) global x per column
     yy = ly + blk * bh - q
     inframe = (yy >= 0) & (yy < h)
     x = jnp.where(inframe, x, 0)
@@ -63,7 +68,7 @@ def _morph_kernel(top_ref, bot_ref, out_ref, *, h: int, w: int, bh: int,
         return jnp.where(ok, v, 0)
 
     def interior(m: int):
-        return ((yy >= m) & (yy < h - m) & (xx >= m) & (xx < w - m))
+        return ((yy >= m) & (yy < h - m) & (xg >= m) & (xg < wt - m))
 
     # simple_junction (positive_only on already-binary input == != 0)
     nz = (x != 0).astype(jnp.int32)
@@ -112,7 +117,7 @@ def _morph_kernel(top_ref, bot_ref, out_ref, *, h: int, w: int, bh: int,
                   ((sh(img, -1, 0) != 0) & (sh(img, 0, 1) != 0)) |
                   ((sh(img, 1, 0) != 0) & (sh(img, 0, -1) != 0)) |
                   ((sh(img, 1, 0) != 0) & (sh(img, 0, 1) != 0)))
-        on_parity = ((yy + xx) & 1) == parity
+        on_parity = ((yy + xg) & 1) == parity
         return jnp.where(on_parity & corner & interior(1), 0, img)
 
     s = stringify(stringify(conn, 0), 1)
@@ -230,17 +235,22 @@ def quant_despeckle_pallas(packed, edge_mag, n0: int = 24, n1: int = 24,
     return out[:h]
 
 
-@functools.partial(jax.jit, static_argnames=("variant", "bh"))
+@functools.partial(jax.jit, static_argnames=("variant", "bh", "w_total"))
 def morph_chain_pallas(edge_bin, variant: str = "rect",
-                       bh: int = _BLOCK_ROWS):
+                       bh: int = _BLOCK_ROWS, x0=0,
+                       w_total: int | None = None):
     """edge_bin (H, W) int32 binary -> strings map, bit-exact vs the
     composed ops/morphology.py chain.
 
     variant: "rect" = junction+connect_rect+stringify x2 (oclrect.c:265-272),
     "poly" = junction+connect_poly+stringify x2, "poly_branch" = poly plus
     removeBranch (the poly-pipeline prefix, oclpolyline.c stages 1-4).
+    x0/w_total: global-x offset + true frame width for halo-widened width
+    tiles (dist/tile.py) — enters as a column-map input (x0 is traced).
     """
     h, w = edge_bin.shape
+    wt = w if w_total is None else w_total
+    xg_row = (jnp.arange(w, dtype=jnp.int32)[None, :] + x0)
     x = edge_bin.astype(jnp.int32)
     q = _HALO
     # bh >= 2q so the two rolled copies cover the (bh + 2q) window;
@@ -258,15 +268,17 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
     top = jnp.roll(x, q, axis=0)
     bot = jnp.roll(x, -q, axis=0)
     spec = pl.BlockSpec((bh, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     interpret = jax.default_backend() not in ("tpu",)
     out = pl.pallas_call(
-        functools.partial(_morph_kernel, h=h, w=w, bh=bh, variant=variant),
+        functools.partial(_morph_kernel, h=h, w=w, bh=bh, variant=variant,
+                          wt=wt),
         out_shape=jax.ShapeDtypeStruct((h2, w), jnp.int32),
         grid=(nb,),
-        in_specs=[spec, spec],
+        in_specs=[spec, spec, rspec],
         out_specs=spec,
         interpret=interpret,
-    )(top, bot)
+    )(top, bot, xg_row)
     return out[:h]
 
 
@@ -311,8 +323,8 @@ def _se_runs():
 _SE_RING, _SE_D64, _SE_D16 = _se_runs()
 
 
-def _merge_mask_kernel(top_ref, bot_ref, out_ref, *, h: int, w: int,
-                       bh: int, q: int):
+def _merge_mask_kernel(top_ref, bot_ref, xok_ref, out_ref, *, h: int,
+                       w: int, bh: int, q: int):
     """strong-label block -> merge mask middle rows.
 
     Dilations run as log-depth window-OR pyramids along x (each disk row
@@ -331,10 +343,10 @@ def _merge_mask_kernel(top_ref, bot_ref, out_ref, *, h: int, w: int,
     wp = x.shape[1]
 
     ly = jax.lax.broadcasted_iota(jnp.int32, (eh, wp), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (eh, wp), 1)
     yy = ly + blk * bh - q
-    interior1 = ((yy >= 1) & (yy < h - 1) &
-                 (xx >= q + 1) & (xx < q + w - 1))
+    # x-interior arrives as a per-column validity row (frame-global in
+    # the width-tiled case; equal to q+1 <= x < q+w-1 single-chip)
+    interior1 = (yy >= 1) & (yy < h - 1) & (xok_ref[:] != 0)
 
     def sh(arr, dy: int, dx: int):
         v = arr
@@ -375,15 +387,24 @@ def _merge_mask_kernel(top_ref, bot_ref, out_ref, *, h: int, w: int,
                            0)[q:q + bh]
 
 
-def merge_mask_pallas(strong_lbl, bh: int = 64):
+def merge_mask_pallas(strong_lbl, bh: int = 64, x0=0,
+                      w_total: int | None = None):
     """strong label map (H, W) int32 -> merge mask (H, W) int32 0/1.
 
     Fuses morphology.simple_junction(strong_lbl, positive_only=True) and
     regions.merge_mask; bit-exact vs the composition
-    (tests/test_pallas_morph_mask.py)."""
+    (tests/test_pallas_morph_mask.py).  x0/w_total: global-x offset +
+    true frame width for halo-widened width tiles — only the junction's
+    interior test is x-border-sensitive, so it enters as a per-column
+    validity row."""
     h, w = strong_lbl.shape
+    wt = w if w_total is None else w_total
     q = _MM_HALO
     wp = pl.cdiv(w + 2 * q, 128) * 128
+    xg = jnp.arange(wp, dtype=jnp.int32)[None, :] - q + x0
+    xok = ((xg >= 1) & (xg < wt - 1) &
+           (jnp.arange(wp)[None, :] >= q) &
+           (jnp.arange(wp)[None, :] < q + w)).astype(jnp.int32)
     x = strong_lbl.astype(jnp.int32)
     x = jnp.pad(x, ((0, 0), (q, wp - w - q)))
     # VMEM budget: (bh + 2q) * wp <= 115456 elems (measured at 720p)
@@ -397,15 +418,17 @@ def merge_mask_pallas(strong_lbl, bh: int = 64):
     top = jnp.roll(x, q, axis=0)
     bot = jnp.roll(x, -q, axis=0)
     spec = pl.BlockSpec((bh, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((1, wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     interpret = jax.default_backend() not in ("tpu",)
     out = pl.pallas_call(
         functools.partial(_merge_mask_kernel, h=h, w=w, bh=bh, q=q),
         out_shape=jax.ShapeDtypeStruct((h2, wp), jnp.int32),
         grid=(nb,),
-        in_specs=[spec, spec],
+        in_specs=[spec, spec, rspec],
         out_specs=spec,
         interpret=interpret,
-    )(top, bot)
+    )(top, bot, xok)
     return out[:h, q:q + w]
 
 

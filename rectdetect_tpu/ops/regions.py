@@ -119,13 +119,12 @@ def blblur(packed, edge, iters: int = 10, x0=0,
     (ops/pallas_blblur.py): bit-exact and ~20x faster (17 ms vs 369 ms at
     720p) because Mosaic keeps each pass's shift chain in VMEM instead of
     materializing padded copies in HBM.  The x0/w_total offset form
-    (halo-widened width tiles, dist/tile.py) uses the jnp path — the
-    offset is a traced axis_index expression, which the Pallas grid
-    cannot take statically."""
-    offset = w_total is not None or not (isinstance(x0, int) and x0 == 0)
-    if jax.default_backend() == "tpu" and not offset:
+    (halo-widened width tiles, dist/tile.py) also runs the Pallas path:
+    the traced x0 enters the kernel as a coordinate-map input."""
+    if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_blblur import blblur_pallas_blocked
-        return blblur_pallas_blocked(packed, edge, iters)
+        return blblur_pallas_blocked(packed, edge, iters, x0=x0,
+                                     w_total=w_total)
 
     def body(_, p):
         p = _blblur_axis(p, edge, True, x0, w_total)
@@ -224,18 +223,22 @@ def merge_mask(junction):
     return (m & ~clear).astype(jnp.int32)
 
 
-def junction_merge_mask(strong_lbl):
+def junction_merge_mask(strong_lbl, x0=0, w_total: int | None = None):
     """simple_junction(positive_only) + merge_mask as one op.
 
     On TPU dispatches to the fused Pallas kernel (ops/pallas_morph.py):
     the three structuring-element dilations run as VMEM rolls instead of
     1-channel convs (the conv formulation puts a 128x128 systolic array
-    on single-channel data — measured ~110 ms at 720p vs ~2 ms fused)."""
+    on single-channel data — measured ~110 ms at 720p vs ~2 ms fused).
+    x0/w_total: global-x offset for halo-widened width tiles — only the
+    junction's interior test is border-sensitive (the dilations read
+    zeros beyond the frame either way)."""
     if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_morph import merge_mask_pallas
-        return merge_mask_pallas(strong_lbl)
+        return merge_mask_pallas(strong_lbl, x0=x0, w_total=w_total)
     from rectdetect_tpu.ops.morphology import simple_junction
-    return merge_mask(simple_junction(strong_lbl, positive_only=True))
+    return merge_mask(simple_junction(strong_lbl, positive_only=True,
+                                      x0=x0, w_total=w_total))
 
 
 def _merge_pairs(packed, mask, edge_label, x0=0,
@@ -318,10 +321,10 @@ def label_merge(packed, mask, edge_label, n_passes: int = 8,
     (ops/pallas_ccl.py): the same row/column scans run to their fixpoint
     in VMEM, so the result is exact for any region shape and the rounds
     knob disappears."""
-    offset = w_total is not None or not (isinstance(x0, int) and x0 == 0)
-    if jax.default_backend() == "tpu" and not offset:
+    if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_ccl import label_merge_exact
-        return label_merge_exact(packed, mask, edge_label)
+        return label_merge_exact(packed, mask, edge_label, x0=x0,
+                                 w_total=w_total)
     h, w = packed.shape
     mh, mv = _merge_pairs(packed, mask, edge_label, x0, w_total)
     label = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)

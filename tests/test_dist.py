@@ -60,7 +60,7 @@ def test_tiled_ccl_matches_single_chip():
     @functools.partial(shard_map, mesh=m, in_specs=P(None, "tile"),
                        out_specs=P(None, "tile"), check_vma=False)
     def run(tile):
-        return dtile.ccl_tiled(tile, 0, n_seam=8)
+        return dtile.ccl_tiled(tile, 0)
 
     got = np.asarray(jax.jit(run)(jnp.asarray(pix)))
     np.testing.assert_array_equal(got, ref)

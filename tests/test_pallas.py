@@ -109,3 +109,43 @@ def test_pallas_quant_despeckle_odd_size():
     want = regions.despeckle(regions.quantize_packed(p), e)
     got = quant_despeckle_pallas(p, e, bh=16)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_blblur_blocked_offset_form():
+    """The width-tile offset form (traced x0 coordinate map + true frame
+    width) matches the jnp offset path bit-exactly."""
+    import jax
+    from rectdetect_tpu.ops.pallas_blblur import blblur_pallas_blocked
+    packed, edge = make_scene(h=32, w=64)
+    p = jnp.asarray(packed.astype(np.int32))
+    e = jnp.asarray(edge.astype(np.int32))
+    x0, wt = jnp.int32(48), 200      # a slice of a 200-wide frame
+
+    def body(_, pp):
+        pp = regions._blblur_axis(pp, e, True, x0, wt)
+        pp = regions._blblur_axis(pp, e, False, x0, wt)
+        return pp
+
+    a = np.asarray(jax.lax.fori_loop(0, 3, body, p))
+    b = np.asarray(blblur_pallas_blocked(p, e, 3, block=16, x0=x0,
+                                         w_total=wt))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_morph_offset_form():
+    """morph_chain_pallas with a global-x column map == the offset jnp
+    chain (border guards + stringify parity are frame-global)."""
+    from rectdetect_tpu.ops import morphology
+    from rectdetect_tpu.ops.pallas_morph import morph_chain_pallas
+    eb = jnp.asarray(_rand_edge(40, 48, seed=3))
+    x0, wt = jnp.int32(33), 160      # odd offset flips the checkerboard
+
+    def jnp_chain(x):
+        s = morphology.stringify(morphology.simple_connect_rect(
+            morphology.simple_junction(x, positive_only=True, x0=x0,
+                                       w_total=wt), x0, wt), 0, x0, wt)
+        return morphology.stringify(s, 1, x0, wt)
+
+    a = np.asarray(jnp_chain(eb))
+    b = np.asarray(morph_chain_pallas(eb, "rect", x0=x0, w_total=wt))
+    np.testing.assert_array_equal(a, b)

@@ -55,3 +55,19 @@ def test_distinct_bids_pallas_bit_exact():
     for i in range(4):
         np.testing.assert_array_equal(np.asarray(want[i]),
                                       np.asarray(got[i]), err_msg=f"slot {i}")
+
+
+def test_merge_mask_pallas_offset_form():
+    """The width-tile offset form: only the junction interior test moves
+    to global coords; must equal the offset jnp composition."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rectdetect_tpu.ops import morphology, regions
+    from rectdetect_tpu.ops.pallas_morph import merge_mask_pallas
+    r = np.random.default_rng(5)
+    lbl = jnp.asarray(r.integers(-1, 40, (36, 44)).astype(np.int32))
+    x0, wt = jnp.int32(20), 128
+    a = np.asarray(regions.merge_mask(morphology.simple_junction(
+        lbl, positive_only=True, x0=x0, w_total=wt)))
+    b = np.asarray(merge_mask_pallas(lbl, x0=x0, w_total=wt))
+    np.testing.assert_array_equal(a, b)

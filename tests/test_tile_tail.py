@@ -72,7 +72,7 @@ def _tiled_tail_maps(packed0, edge_thin, edge_bin, n_tiles, cfg=CFG):
         check_vma=False)
     def run(pk, et, eb):
         s = dtile.strings_chain_tiled(eb, "rect")
-        glabel = dtile.ccl_tiled(s, 0, n_seam=8, cfg=cfg)
+        glabel = dtile.ccl_tiled(s, 0, cfg=cfg)
         st = dtile.calc_strength_tiled(et, glabel, cfg.strength_scale)
         weak = dtile.filter_strength_tiled(glabel, st, cfg.strength_weak)
         weak_bin = (weak > 0).astype(jnp.int32)
@@ -80,11 +80,11 @@ def _tiled_tail_maps(packed0, edge_thin, edge_bin, n_tiles, cfg=CFG):
         despeck = dtile.quantize_despeckle_tiled(blurred, et, cfg)
         strong = dtile.filter_strength_tiled(weak, st, cfg.strength_strong)
         mask = dtile.junction_merge_mask_tiled(strong)
-        seg = dtile.label_merge_tiled(despeck, mask, strong, cfg, 8)
+        seg = dtile.label_merge_tiled(despeck, mask, strong, cfg)
         sizes = dtile.label_sizes_tiled(seg)
         seg2 = dtile.despeckle2_tiled(seg, sizes, cfg.despeckle2_thre)
         bmark = dtile.mark_boundary_tiled(seg2)
-        boundary = dtile.ccl_tiled(bmark, -1, n_seam=8, cfg=cfg)
+        boundary = dtile.ccl_tiled(bmark, -1, cfg=cfg)
         return dict(strings=s, weak=weak, blurred=blurred,
                     despeck=despeck, strong=strong, mask=mask, seg=seg2,
                     bmark=bmark, boundary=boundary)
@@ -141,7 +141,7 @@ def test_ccl_tiled_boustrophedon_exact():
     @functools.partial(shard_map, mesh=m, in_specs=P(None, "tile"),
                        out_specs=P(None, "tile"), check_vma=False)
     def run(tile):
-        return dtile.ccl_tiled(tile, 0, n_seam=1)
+        return dtile.ccl_tiled(tile, 0)
 
     got = np.asarray(jax.jit(run)(jnp.asarray(pix)))
     np.testing.assert_array_equal(got, ref)
