@@ -162,7 +162,7 @@ def _closest_point_dist(sx, sy, ex, ey, px, py):
 
 
 def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
-                   n_iters: int, comp=None):
+                   n_iters: int, comp=None, axis_name: str | None = None):
     """Iterative max-deviation subdivision (mkpl_pass1/2/3,
     oclpolyline.cl:509-646; host loop N=16 at oclpolyline.c:186-216).
 
@@ -173,7 +173,15 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
 
     With `comp`, per-pixel work runs over the compacted slot list (every
     iteration's arena gathers and distance math are O(edge pixels)).
+
+    axis_name (width-tiled path, dist/tile.py; requires comp): every
+    iteration's per-slot work runs on this device's contiguous slot
+    slice; the (cap,) segment tables reduce with pmax/pmin and the label
+    state reassembles with one all_gather — all-integer reductions, so
+    the result is bit-identical to the replicated computation.
     """
+    from jax import lax
+
     h, w = label.shape
     n = h * w
     cap = arena.cap
@@ -192,9 +200,29 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
         label_s = label.reshape(-1)
     seg_id = jnp.arange(cap, dtype=jnp.int32)
     minerr_fix = int(minerror * FIX)
-
     n_slots = px.shape[0]
-    slot_ids = jnp.arange(n_slots, dtype=jnp.int32)
+    if axis_name is not None:
+        assert comp is not None
+        n_sh = lax.axis_size(axis_name)
+        chunk = -(-n_slots // n_sh)
+        pad = n_sh * chunk - n_slots
+        if pad:
+            zf = jnp.zeros((pad,), jnp.float32)
+            zi = jnp.zeros((pad,), jnp.int32)
+            px = jnp.concatenate([px, zf])
+            py = jnp.concatenate([py, zf])
+            num = jnp.concatenate([num, zi])
+            label_s = jnp.concatenate([label_s.astype(jnp.int32), zi])
+        n_slots_p = n_slots + pad
+        lo = lax.axis_index(axis_name) * chunk
+        px_l = lax.dynamic_slice_in_dim(px, lo, chunk)
+        py_l = lax.dynamic_slice_in_dim(py, lo, chunk)
+        num_l = lax.dynamic_slice_in_dim(num, lo, chunk)
+        slot_l = lo + jnp.arange(chunk, dtype=jnp.int32)
+    else:
+        n_slots_p = n_slots
+        px_l, py_l, num_l = px, py, num
+        slot_l = jnp.arange(n_slots, dtype=jnp.int32)
     # packed winner-pixel table: one row gather instead of three
     # (num <= chain length < 2^24, exact in f32)
     pxyn = jnp.stack([px, py, num.astype(jnp.float32)], axis=1)
@@ -206,9 +234,16 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
     def _i(x):                       # f32 bit pattern -> i32
         return jax.lax.bitcast_convert_type(x, jnp.int32)
 
+    def _red(x, mode):
+        if axis_name is None:
+            return x
+        return (lax.pmax if mode == "max" else lax.pmin)(x, axis_name)
+
     def body(_, state):
         a, l = state
-        lc = jnp.clip(l, 0, cap - 1)
+        l_loc = (l if axis_name is None
+                 else lax.dynamic_slice_in_dim(l, lo, chunk))
+        lc = jnp.clip(l_loc, 0, cap - 1)
 
         # TPU gathers are per-row overhead-bound, so fetch every per-pixel
         # arena field with ONE row gather of a packed (cap, 5) matrix
@@ -218,23 +253,23 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
         rows = packed[lc]                               # (S, 5)
         seg_sx, seg_sy = rows[:, 0], rows[:, 1]
         seg_ex, seg_ey = rows[:, 2], rows[:, 3]
-        live_px = (l > 0) & (l < cap) & (rows[:, 4] != 0)
+        live_px = (l_loc > 0) & (l_loc < cap) & (rows[:, 4] != 0)
 
         # pass1: fixed-point distance to the current chord, per pixel.
-        d = _closest_point_dist(seg_sx, seg_sy, seg_ex, seg_ey, px, py)
+        d = _closest_point_dist(seg_sx, seg_sy, seg_ex, seg_ey, px_l, py_l)
         dist = (d * FIX).astype(jnp.int32)
         dist = jnp.where(live_px, dist, -1)
-        tgt = jnp.where(live_px, l, cap)
-        maxdist = _seg_scatter(cap, tgt, dist, "max", -1)
+        tgt = jnp.where(live_px, l_loc, cap)
+        maxdist = _red(_seg_scatter(cap, tgt, dist, "max", -1), "max")
 
         # winner pixel: min flat index achieving the segment max (the
         # reference uniquifies via rand XOR, oclpolyline.cl:536); slot
         # order equals flat order, so the min slot is the min flat index.
         at_max = live_px & (dist == maxdist[lc]) & (maxdist[lc] >= 0)
-        winner = _seg_scatter(cap, jnp.where(at_max, l, cap), slot_ids,
-                              "min", n_slots)
-        has_w = winner < n_slots
-        wc = jnp.clip(winner, 0, n_slots - 1)
+        winner = _red(_seg_scatter(cap, jnp.where(at_max, l_loc, cap),
+                                   slot_l, "min", n_slots_p), "min")
+        has_w = winner < n_slots_p
+        wc = jnp.clip(winner, 0, n_slots_p - 1)
         wrows = pxyn[wc]
         wx = wrows[:, 0]
         wy = wrows[:, 1]
@@ -313,8 +348,10 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
         # (fused row gather of the three fields it reads).
         p3 = jnp.stack([a2.end_index, a2.polyid, a2.right_ptr], axis=1)
         rows3 = p3[lc]
-        move = live_px & (rows3[:, 0] < num) & (rows3[:, 1] != 0)
-        l_new = jnp.where(move, rows3[:, 2], l)
+        move = live_px & (rows3[:, 0] < num_l) & (rows3[:, 1] != 0)
+        l_new = jnp.where(move, rows3[:, 2], l_loc)
+        if axis_name is not None:
+            l_new = lax.all_gather(l_new, axis_name, axis=0, tiled=True)
         return a2, l_new
 
     # fixed trip count (oclpolyline.c:186-216): an early-exit while_loop
@@ -323,6 +360,7 @@ def mkpl_subdivide(arena: SegmentArena, label, number, minerror: float,
     # tail iterations save
     arena, l_end = jax.lax.fori_loop(0, n_iters - 1, body,
                                      (arena, label_s.astype(jnp.int32)))
+    l_end = l_end[:n_slots]
     if comp is not None:
         lab = jnp.zeros((n + 1,), jnp.int32).at[
             jnp.where(live, p_s, n)].set(l_end, mode="drop")[:n]
@@ -579,6 +617,6 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
     comp = compact_subset(comp0, dense_s > 0, sp_arc)
     arena = mkpl_init(dense, number, cap, comp)
     arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
-                                 cfg.mkpl_iters, comp)
+                                 cfg.mkpl_iters, comp, axis_name)
     arena = refine(arena, lsid, comp)
     return arena, lsid, comp

@@ -147,6 +147,33 @@ def test_ccl_tiled_boustrophedon_exact():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_polyline_execute_sharded_slots_exact():
+    """polyline_execute with axis_name (sharded arc walk + sharded mkpl
+    slot iterations) is bit-identical to the replicated computation."""
+    from rectdetect_tpu.ops.polyline import polyline_execute
+
+    cfg = PipelineConfig(ls_capacity=512, number_doublings=10)
+    packed0, et, eb = _frontend(48, 32 * 8, seed=9)
+    sb = eb  # any binary edge map works as polyline input
+    ref_arena, ref_lsid = polyline_execute(sb, 4.0, 20, 512, cfg)
+
+    m = dmesh.make_mesh(1, 8)
+
+    @functools.partial(shard_map, mesh=m, in_specs=P(),
+                       out_specs=P(), check_vma=False)
+    def run(x):
+        a, l = polyline_execute(x, 4.0, 20, 512, cfg, axis_name="tile")
+        return a, l
+
+    got_arena, got_lsid = jax.jit(run)(sb)
+    np.testing.assert_array_equal(np.asarray(got_lsid),
+                                  np.asarray(ref_lsid))
+    for f in ("sx", "sy", "ex", "ey", "polyid", "right_ptr", "npix"):
+        np.testing.assert_array_equal(np.asarray(getattr(got_arena, f)),
+                                      np.asarray(getattr(ref_arena, f)),
+                                      err_msg=f)
+
+
 def test_rect_tail_tiled_matches_dense_rect_tail():
     """End-to-end: sharded tail + replicated geometry equals the dense
     single-chip rect_tail on identical front-end products."""
