@@ -29,6 +29,11 @@ class PipelineConfig:
     # at under half the serial gather count.
     ccl_passes: int = 8
     ccl_jumps: int = 2
+    # Pallas block-CCL block height; 0 = derive from the VMEM budget
+    # (pallas_ccl._pick_bh).  Autotuned per device+resolution by
+    # runtime.calibrate.tune_kernels (the plan.txt local-work-size
+    # analog, oclhelper.c:312-605) and applied by load_calibrated_config.
+    ccl_bh: int = 0
     labelpl_passes: int = 12      # N, oclpolyline.c:172
     labelpl_jumps: int = 2        # ref 8, oclpolyline.cl:340; see ccl_jumps
     labelmerge_passes: int = 8    # oclrect.c:328

@@ -60,7 +60,7 @@ def _scan_flood(label_flat, pix, bgc, sent, h, w):
 def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
                      compress: bool = True, sparse_cap: int | None = None,
                      scan_boost: bool = False, comp=None,
-                     force_xla: bool = False):
+                     force_xla: bool = False, bh: int | None = None):
     """8-connected CCL over equal pixel values; background bgc -> label -1.
 
     pix: (H, W) int32.  Returns (H, W) int32 labels = min flat index of the
@@ -81,7 +81,7 @@ def label_components(pix, bgc: int, n_passes: int, n_jumps: int,
     """
     if jax.default_backend() == "tpu" and not force_xla:
         from rectdetect_tpu.ops.pallas_ccl import label_components_exact
-        return label_components_exact(pix, bgc, comp=comp)
+        return label_components_exact(pix, bgc, bh=bh, comp=comp)
     h, w = pix.shape
     n = h * w
     sent = n
@@ -452,7 +452,8 @@ def label_components_adaptive(pix, bgc: int, n_passes: int, n_jumps: int,
                               scan_boost: bool = True,
                               round_cap: int = 0,
                               pieces_ok: bool = False,
-                              force_xla: bool = False):
+                              force_xla: bool = False,
+                              bh: int | None = None):
     """label_components with a runtime capacity switch.
 
     Both branches compute the exact same labels; the foreground count
@@ -475,8 +476,8 @@ def label_components_adaptive(pix, bgc: int, n_passes: int, n_jumps: int,
         from rectdetect_tpu.ops.pallas_ccl import (label_components_exact,
                                                    label_components_pieces)
         if pieces_ok and round_cap:
-            return label_components_pieces(pix, bgc, round_cap)
-        return label_components_exact(pix, bgc,
+            return label_components_pieces(pix, bgc, round_cap, bh=bh)
+        return label_components_exact(pix, bgc, bh=bh,
                                       round_cap=round_cap or None)
 
     fg_count = jnp.sum((pix != bgc).astype(jnp.int32))

@@ -304,7 +304,7 @@ def _segmented_min_1d(vals, link):
 
 def label_merge(packed, mask, edge_label, n_passes: int = 8,
                 n_jumps: int = 8, n_rounds: int = 12, x0=0,
-                w_total: int | None = None):
+                w_total: int | None = None, bh: int | None = None):
     """Region-merge CCL with min-flat-index labels (labelxPreprocess +
     labelMergeMain, oclrect.cl:289-334).
 
@@ -323,7 +323,7 @@ def label_merge(packed, mask, edge_label, n_passes: int = 8,
     knob disappears."""
     if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_ccl import label_merge_exact
-        return label_merge_exact(packed, mask, edge_label, x0=x0,
+        return label_merge_exact(packed, mask, edge_label, bh=bh, x0=x0,
                                  w_total=w_total)
     h, w = packed.shape
     mh, mv = _merge_pairs(packed, mask, edge_label, x0, w_total)

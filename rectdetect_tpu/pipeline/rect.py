@@ -161,7 +161,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
             lbl = ccl.label_components_adaptive(
                 s, 0, cfg.ccl_passes, cfg.ccl_jumps,
                 small_cap=max(4096, ih * iw // 8), big_cap=sp,
-                round_cap=cfg.weak_ccl_round_cap, pieces_ok=True)
+                round_cap=cfg.weak_ccl_round_cap, pieces_ok=True,
+                bh=cfg.ccl_bh or None)
             # one strings-foreground compaction shared by the strength
             # scatter and both per-pixel strength filters
             from rectdetect_tpu.ops.compact import compact_mask
@@ -193,7 +194,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
         mask = regions.junction_merge_mask(strong_lbl)
         seg = regions.label_merge(despeck, mask, strong_lbl,
                                   cfg.labelmerge_passes,
-                                  cfg.labelmerge_jumps)
+                                  cfg.labelmerge_jumps,
+                                  bh=cfg.ccl_bh or None)
         sizes = regions.label_sizes(seg)
         seg = regions.despeckle2(seg, sizes, cfg.despeckle2_thre)
 
@@ -210,7 +212,7 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
             bmark, -1, cfg.ccl_passes, cfg.ccl_jumps,
             small_cap=max(4096, ih * iw // 16), big_cap=spb,
             round_cap=cfg.boundary_ccl_round_cap,
-            force_xla=cfg.boundary_tpu_sparse)
+            force_xla=cfg.boundary_tpu_sparse, bh=cfg.ccl_bh or None)
     else:
         boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
                                         cfg.ccl_jumps)

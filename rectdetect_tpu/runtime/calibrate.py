@@ -148,6 +148,71 @@ def _plan_lookup(dev: str, platform: str, h: int, w: int,
     return entries, used
 
 
+def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
+                 plan_path: str = PLAN_PATH,
+                 candidates=(48, 64, 96, 128), n_iter: int = 16,
+                 time_fn=None) -> PipelineConfig:
+    """Profile Pallas block-CCL block heights on THIS device and persist
+    the winner — the reference's local-work-size autotune
+    (startProfiling/finishProfiling/savePlan, oclhelper.c:312-605, driven
+    by rect.cpp:88-98) reduced to the block parameter that matters for
+    this pipeline's kernels.
+
+    Timing uses the amortized single-readback protocol (pre-uploaded
+    input, n_iter submissions, one tiny readback) — the only protocol
+    that is truthful on relay-transported devices, where
+    block_until_ready acks enqueue rather than completion.
+
+    time_fn(bh) -> seconds overrides the measurement (tests)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    if time_fn is None:
+        from rectdetect_tpu.ops.ccl import label_components
+
+        rng = np.random.default_rng(0)
+        # the workload constraint: NMS thinning keeps ~30% of pixels on
+        # noisy frames, so tune at that density (docs/STATUS.md)
+        pix = jnp.asarray((rng.random((h, w)) < 0.3).astype(np.int32))
+        pix = jax.device_put(pix)
+        np.asarray(pix)[:1]
+
+        def time_fn(bh):
+            f = jax.jit(lambda p: label_components(p, 0, cfg.ccl_passes,
+                                                   cfg.ccl_jumps, bh=bh))
+            r = f(pix)
+            np.asarray(r)[:1, :1]              # compile + settle
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                r = f(pix)
+            np.asarray(r)[:1, :1]              # drain the in-order queue
+            return (time.perf_counter() - t0) / n_iter
+
+    results = {}
+    for bh in candidates:
+        try:
+            results[bh] = time_fn(bh)
+        except Exception as e:                  # illegal block (VMEM)
+            print(f"tune_kernels: bh={bh} failed ({type(e).__name__})")
+    if not results:
+        return cfg
+    best = min(results, key=results.get)
+    for bh in sorted(results):
+        mark = " <-- best" if bh == best else ""
+        print(f"tune_kernels: bh={bh:4d}  {results[bh] * 1e3:8.2f} ms"
+              f"{mark}")
+    new = dataclasses.replace(cfg, ccl_bh=int(best))
+    import jax as _jax
+    dev = _jax.devices()[0].device_kind
+    key = _key(dev, h, w)
+    entries = native.plan_load(plan_path, key)
+    entries["ccl_bh"] = str(int(best))
+    native.plan_save(plan_path, key, entries)
+    return new
+
+
 def load_calibrated_config(h: int, w: int,
                            cfg: PipelineConfig = DEFAULT_CONFIG,
                            plan_path: str = PLAN_PATH,
@@ -188,6 +253,7 @@ def load_calibrated_config(h: int, w: int,
         cycle_sparse_factor=int(entries.get("cycle_sparse_factor",
                                             cfg.cycle_sparse_factor)),
         ls_capacity=int(entries.get("ls_capacity", cfg.ls_capacity)),
+        ccl_bh=int(entries.get("ccl_bh", cfg.ccl_bh)),
     )
 
 
@@ -229,5 +295,12 @@ if __name__ == "__main__":
     import sys as _sys
     if "--clear" in _sys.argv:
         clear_plan()
+    elif "--kernels" in _sys.argv:
+        # on-device kernel block autotune (rect.cpp:88-98 analog);
+        # optional HxW argument, default the headline resolution
+        res = next((a for a in _sys.argv[1:] if "x" in a), "720x1280")
+        _h, _w = (int(v) for v in res.split("x"))
+        tune_kernels(_h, _w)
+        show_plan()
     else:
         show_plan()

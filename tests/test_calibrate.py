@@ -57,3 +57,33 @@ def test_calibrated_config_runs():
         cfg = calibrate.calibrate(frames, plan_path=os.path.join(d, "p.txt"))
     res = rect_frame(frames[0], math.tan(math.radians(72) / 2), cfg)
     assert np.asarray(res.value).shape[0] > 0
+
+
+def test_tune_kernels_persist_and_apply(tmp_path):
+    """Kernel-block autotune: winner persisted next to the capacity plan
+    and applied by load_calibrated_config (plan.txt local-work-size
+    analog).  Timing injected — the mechanism is what's under test."""
+    import jax
+    plan = str(tmp_path / "plan.txt")
+    times = {48: 3.0, 64: 1.5, 96: 2.0}
+    cfg = calibrate.tune_kernels(24, 32, plan_path=plan,
+                                 candidates=(48, 64, 96),
+                                 time_fn=lambda bh: times[bh])
+    assert cfg.ccl_bh == 64
+
+    dev = jax.devices()[0].device_kind
+    from rectdetect_tpu.runtime import native
+    entries = native.plan_load(plan, calibrate._key(dev, 24, 32))
+    assert entries["ccl_bh"] == "64"
+
+    loaded = calibrate.load_calibrated_config(24, 32, plan_path=plan)
+    assert loaded.ccl_bh == 64
+
+    # a failing candidate is skipped, not fatal
+    def flaky(bh):
+        if bh == 96:
+            raise RuntimeError("VMEM")
+        return {48: 2.0, 64: 9.0}[bh]
+    cfg2 = calibrate.tune_kernels(24, 32, plan_path=plan,
+                                  candidates=(48, 64, 96), time_fn=flaky)
+    assert cfg2.ccl_bh == 48
