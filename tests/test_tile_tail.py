@@ -92,9 +92,12 @@ def _tiled_tail_maps(packed0, edge_thin, edge_bin, n_tiles, cfg=CFG):
     return jax.jit(run)(packed0, edge_thin, edge_bin)
 
 
-def test_tail_stages_tiled_exact():
-    """Every sharded stage equals its single-chip stage bitwise."""
-    packed0, et, eb = _frontend(48, 32 * 8)
+@pytest.mark.parametrize("seed,hw", [(7, (48, 32 * 8)),
+                                     (21, (56, 24 * 8))])
+def test_tail_stages_tiled_exact(seed, hw):
+    """Every sharded stage equals its single-chip stage bitwise
+    (fuzzed over scene seeds and non-128-aligned tile widths)."""
+    packed0, et, eb = _frontend(hw[0], hw[1], seed=seed)
     ref = {k: np.asarray(v) for k, v in
            _single_chip_tail_maps(packed0, et, eb).items()}
     got = {k: np.asarray(v) for k, v in
