@@ -89,9 +89,14 @@ def _key(device_kind: str, h: int, w: int) -> str:
 
 
 def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
-              plan_path: str = PLAN_PATH) -> PipelineConfig:
+              plan_path: str = PLAN_PATH,
+              device_kind: str | None = None) -> PipelineConfig:
     """Measure densities on sample frames, derive tight safe capacities,
-    persist, and return the calibrated config."""
+    persist, and return the calibrated config.
+
+    device_kind overrides the plan key: densities are properties of the
+    workload, not the chip, so a CPU run can pre-populate TPU entries
+    (tools/calibrate_bench.py writes the bench-scene plan this way)."""
     import jax
     h, w = np.asarray(bgr_frames[0]).shape[:2]
     (edge_d, rect_d, strings_d, boundary_d, arcs_d, arcs,
@@ -115,7 +120,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         cycle_sparse_factor=factor_for(cyc_d, cap=256),
         ls_capacity=int(min(max(arcs * 4 * MARGIN, 4096), 262144)),
     )
-    dev = jax.devices()[0].device_kind
+    dev = device_kind or jax.devices()[0].device_kind
     native.plan_save(plan_path, _key(dev, h, w), {
         "sparse_factor": str(new.sparse_factor),
         "strings_sparse_factor": str(new.strings_sparse_factor),
