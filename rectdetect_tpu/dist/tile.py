@@ -205,8 +205,15 @@ def edge_frontend_tiled(bgr_tile, halo: int = 16,
     wide = halo_exchange_w(labq.transpose(2, 0, 1), halo, axis_name)
     labb = jnp.stack([blur.gaussian_blur(wide[c], cfg.blur_radius)
                       for c in range(3)], axis=-1)
-    vec = gradient.edgevec(labb[..., 0])
-    em = gradient.edge_lab(color.quantize_labf(labb))
+    if jax.default_backend() == "tpu":
+        # same fused Pallas gradient stage as the single-chip front-end
+        # (pipeline/frontend.py); the halo supplies the stencil context,
+        # local border artifacts land in the cropped columns
+        from rectdetect_tpu.ops.pallas_grad import edge_front_pallas
+        em, vec = edge_front_pallas(labb)
+    else:
+        vec = gradient.edgevec(labb[..., 0])
+        em = gradient.edge_lab(color.quantize_labf(labb))
     et = thin.thinthres(em, vec)
     et = et[..., halo:-halo]
     return et, (et > 0).astype(jnp.int32)
