@@ -14,6 +14,9 @@ Usage: python -m rectdetect_tpu.apps.vidrect [device] [input] [output] [AOV]
   --tiles=N: width-tile spatial parallelism — each frame is sharded over
   N chips (halo-exchange stencils, cross-tile CCL; dist/tile.py) for
   resolutions where one chip can't hold the frame pipeline at rate (4K).
+  --trace=DIR: capture a jax profiler trace of the steady-state loop into
+  DIR (view with tensorboard/xprof) — the CL-event-timestamp observability
+  the reference's plan system provides (oclhelper.c:555-605), device-side.
 """
 
 from __future__ import annotations
@@ -29,12 +32,15 @@ def main(argv=None) -> int:
     batch = 0
     streams = 0
     tiles = 0
+    trace_dir = None
     argv = [a for a in argv if not (a.startswith("--batch=") and
                                     (batch := int(a.split("=")[1])) >= 0)]
     argv = [a for a in argv if not (a.startswith("--streams=") and
                                     (streams := int(a.split("=")[1])) >= 0)]
     argv = [a for a in argv if not (a.startswith("--tiles=") and
                                     (tiles := int(a.split("=")[1])) >= 0)]
+    argv = [a for a in argv if not (a.startswith("--trace=") and
+                                    (trace_dir := a.split("=", 1)[1]))]
     if len(argv) < 2:
         sys.stderr.write(
             f"Usage : {argv[0]} [device number] [input video file] "
@@ -109,6 +115,13 @@ def main(argv=None) -> int:
     det.enqueue(frames[n & 1])
     n += 1
 
+    tracing = False
+    if trace_dir:
+        import jax
+        jax.profiler.start_trace(trace_dir)
+        tracing = True
+        print(f"tracing to {trace_dir}")
+
     while True:
         frame = pump.next(timeout_ms=5000)
         if frame is None:
@@ -132,6 +145,10 @@ def main(argv=None) -> int:
             if key in (27, 13):
                 break
 
+    if tracing:
+        import jax
+        jax.profiler.stop_trace()
+        print(f"trace written to {trace_dir}")
     if writer is not None:
         writer.release()
     pump.close()

@@ -82,3 +82,13 @@ def test_videotest_app(assets):
     from rectdetect_tpu.apps import videotest
     assert videotest.main(["videotest", assets["vid"], out]) == 0
     assert os.path.getsize(out) > 0
+
+
+def test_vidrect_app_trace(assets, monkeypatch, tmp_path):
+    monkeypatch.chdir(assets["dir"])
+    out = os.path.join(assets["dir"], "vtr.avi")
+    trace = str(tmp_path / "trace")
+    from rectdetect_tpu.apps import vidrect
+    assert vidrect.main(["vidrect", "0", assets["vid"], out, "72",
+                         f"--trace={trace}"]) == 0
+    assert os.path.isdir(trace) and os.listdir(trace)
