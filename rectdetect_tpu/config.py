@@ -29,6 +29,17 @@ class PipelineConfig:
     # at under half the serial gather count.
     ccl_passes: int = 8
     ccl_jumps: int = 2
+    # ACCURACY EXTENSION (not in the reference): bridge straight 2-px
+    # gaps between chain ends before stringify (morphology.
+    # simple_connect2) — closes the staircase holes the reference's
+    # thinning leaves on shallow-slope edges, which otherwise fragment
+    # a quad side below the polyline size filter.
+    bridge_gap2: bool = True
+    # Fail-open repair rounds after each strength filter (see
+    # ccl.rescue_filtered): a killed string pixel 8-adjacent to a
+    # surviving one is same-component under exact CCL, so exact
+    # filtering would keep it.  0 disables.
+    strength_rescue_rounds: int = 3
     # Pallas block-CCL block height; 0 = derive from the VMEM budget
     # (pallas_ccl._pick_bh).  Autotuned per device+resolution by
     # runtime.calibrate.tune_kernels (the plan.txt local-work-size

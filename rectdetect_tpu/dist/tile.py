@@ -223,14 +223,15 @@ def edge_frontend_tiled(bgr_tile, halo: int = 16,
 # sharded rect tail stages (each equals its single-chip stage's tile)
 # ---------------------------------------------------------------------------
 
-def strings_chain_tiled(edge_bin, variant: str, halo: int = 8,
-                        axis_name: str = "tile"):
+def strings_chain_tiled(edge_bin, variant: str, halo: int = 12,
+                        axis_name: str = "tile", bridge2: bool = False):
     """strings_chain on a width tile (halo covers the 4-op stencil chain;
     x0 keeps the checkerboard parity and border guards global)."""
     h, wl = edge_bin.shape
     _, _, w, xg0 = _tile_geom(wl, axis_name)
     wide = halo_exchange_w(edge_bin, halo, axis_name, fill="const")
-    s = morphology.strings_chain(wide, variant, x0=xg0 - halo, w_total=w)
+    s = morphology.strings_chain(wide, variant, x0=xg0 - halo, w_total=w,
+                                 bridge2=bridge2)
     return s[..., halo:-halo]
 
 
@@ -255,7 +256,11 @@ def calc_strength_tiled(edge_thin, glabel, scale: float,
 def filter_strength_tiled(glabel, strength, thre: int,
                           axis_name: str = "tile"):
     """filter_strength with global labels + the psum'd strength table
-    (oclimgutil.cl:651-657); interior means the TRUE frame border."""
+    (oclimgutil.cl:651-657); interior means the TRUE frame border.
+    No rescue pass here (ccl.rescue_filtered): the tiled labels are
+    EXACT components, under which the rescue is a mathematical no-op
+    (a killed pixel adjacent to a survivor would share its component
+    and its above-threshold total)."""
     h, wl = glabel.shape
     _, _, w, xg0 = _tile_geom(wl, axis_name)
     inter = interior_mask(h, wl, 1, xg0, w)
@@ -433,7 +438,8 @@ def rect_tail_tiled(packed_tile, edge_thin_tile, edge_bin_tile, tan_aov,
     replicated on the two gathered maps."""
     from rectdetect_tpu.pipeline.rect import rect_geometry_tail
 
-    s = strings_chain_tiled(edge_bin_tile, "rect", axis_name=axis_name)
+    s = strings_chain_tiled(edge_bin_tile, "rect", axis_name=axis_name,
+                            bridge2=cfg.bridge_gap2)
     glabel = ccl_tiled(s, 0, cfg=cfg, axis_name=axis_name)
     st = calc_strength_tiled(edge_thin_tile, glabel, cfg.strength_scale,
                              axis_name)

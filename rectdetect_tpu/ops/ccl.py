@@ -230,6 +230,42 @@ def filter_strength(label, strength, thre: int, comp=None):
     return out.reshape(h, w)
 
 
+def rescue_filtered(pre_label, filtered, rounds: int = 3):
+    """Fail-open repair of strength filtering under piece labels.
+
+    The capped/fixed-pass CCL can return a real component as several
+    label pieces; filter_strength then thresholds each piece's PARTIAL
+    strength, so a tiny sliver of a strong edge (a staircase-corner
+    piece of a shallow-slope side, where the NMS response dips) can die
+    even though its component total is far above the threshold —
+    fragmenting the edge and losing whole quad sides downstream.
+
+    Repair: a killed foreground pixel that is 8-adjacent to a SURVIVING
+    pixel is 8-connected to it, i.e. the same component under exact CCL
+    (oclimgutil.cl:495-538), whose total is >= the surviving piece's
+    partial >= the threshold — so exact filtering keeps it.  Each round
+    is one dilate-and-restore (pure VPU shifts); `rounds` bounds rescue
+    chains of adjacent under-threshold slivers.  Sound (never keeps what
+    exact filtering would kill) but not complete: components ALL of
+    whose pieces are individually under threshold stay dead — the deep
+    low-contrast regime where detection is marginal anyway.
+
+    pre_label: the label image BEFORE filtering (>0 = foreground);
+    filtered: filter_strength's output.  Returns the repaired image.
+    """
+    h, w = pre_label.shape
+    fg = pre_label > 0
+    out = filtered
+    for _ in range(rounds):
+        surv = out > 0
+        sp_ = pad2d(surv, 1, "zero", constant=False)
+        near = jnp.zeros((h, w), bool)
+        for dy, dx in NEIGH8:
+            near = near | shifted(sp_, 1, dy, dx, h, w)
+        out = jnp.where(fg & ~surv & near, pre_label, out)
+    return out.astype(jnp.int32)
+
+
 def component_sizes(label, num: int | None = None, ignore: int = 0,
                     comp=None):
     """Histogram of label occurrences (calcSize, oclpolyline.cl:357-365).

@@ -97,6 +97,39 @@ def simple_connect_rect(jn, x0=0, w_total=None):
                      0).astype(jnp.int32)
 
 
+def simple_connect2(conn, x0=0, w_total=None):
+    """2-px gap bridging — an ACCURACY EXTENSION over the reference.
+
+    The reference's thinning drops exactly two pixels at every staircase
+    step of a shallow-slope edge (the NMS local-max test fails where the
+    ridge changes rows), and its simpleConnect patterns only close 1-px
+    gaps (oclrect.cl:97-121 / oclpolyline.cl:89-110) — so near-axis
+    edges fragment into ~(1/slope)-px pieces that the polyline size
+    filter (sizeThre=20) then discards, losing whole quad sides.  This
+    stage sets the two background pixels of a straight 2-px gap when
+    both flanks are chain ends (degree 2), in the 4 axis/diagonal
+    directions.  Gated by PipelineConfig.bridge_gap2.
+    """
+    h, w = conn.shape
+    nz = conn != 0
+    deg = jnp.where(nz, 1 + _neighbor_count(nz), 0)
+    p = pad2d(deg, 3, "zero")
+
+    def n(dy, dx):
+        return shifted(p, 3, dy, dx, h, w)
+
+    fill = jnp.zeros((h, w), bool)
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        # ends at p-(dy,dx) and p+2(dy,dx): set p (and the mirrored
+        # pattern sets the other gap pixel)
+        a = (n(-dy, -dx) == 2) & (n(2 * dy, 2 * dx) == 2)
+        b = (n(-2 * dy, -2 * dx) == 2) & (n(dy, dx) == 2)
+        fill = fill | a | b
+    out = jnp.where(nz | fill, 1, 0)
+    return jnp.where(interior_mask(h, w, 2, x0, w_total), out,
+                     0).astype(jnp.int32)
+
+
 def stringify(img, parity: int, x0=0, w_total=None):
     """Checkerboard corner-thinning (stringify, oclpolyline.cl:112-124).
 
@@ -131,12 +164,16 @@ def remove_branch(img, x0=0, w_total=None):
                      0).astype(jnp.int32)
 
 
-def strings_chain(edge_bin, variant: str, x0=0, w_total=None):
+def strings_chain(edge_bin, variant: str, x0=0, w_total=None,
+                  bridge2: bool = False):
     """The full edge->strings morphology prefix as one op.
 
     variant "rect": junction -> connect_rect -> stringify x2
     (oclrect.c:265-272); "poly_branch": junction -> connect_poly ->
     stringify x2 -> removeBranch (oclpolyline.c stages 1-4).
+    bridge2 inserts the simple_connect2 accuracy extension after the
+    reference bridging (closes the 2-px staircase gaps of shallow
+    edges; see its docstring).
 
     On TPU this dispatches to the fused Pallas kernel
     (ops/pallas_morph.py) — the 4-5 stencil chain runs per block in VMEM
@@ -149,13 +186,18 @@ def strings_chain(edge_bin, variant: str, x0=0, w_total=None):
     if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_morph import morph_chain_pallas
         return morph_chain_pallas(edge_bin, variant, x0=x0,
-                                  w_total=w_total)
+                                  w_total=w_total, bridge2=bridge2)
     if variant == "rect":
-        s = stringify(simple_connect_rect(
+        c = simple_connect_rect(
             simple_junction(edge_bin, positive_only=True, x0=x0,
-                            w_total=w_total), x0, w_total), 0, x0, w_total)
+                            w_total=w_total), x0, w_total)
+        if bridge2:
+            c = simple_connect2(c, x0, w_total)
+        s = stringify(c, 0, x0, w_total)
         return stringify(s, 1, x0, w_total)
-    s = stringify(simple_connect_poly(
-        simple_junction(edge_bin, x0=x0, w_total=w_total), x0, w_total),
-        0, x0, w_total)
+    c = simple_connect_poly(
+        simple_junction(edge_bin, x0=x0, w_total=w_total), x0, w_total)
+    if bridge2:
+        c = simple_connect2(c, x0, w_total)
+    s = stringify(c, 0, x0, w_total)
     return remove_branch(stringify(s, 1, x0, w_total), x0, w_total)

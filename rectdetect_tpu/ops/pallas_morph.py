@@ -30,12 +30,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rectdetect_tpu.ops.shifts import NEIGH8
 
-_HALO = 8          # chain depth 4-5; 8 keeps the i32 sublane tiling happy
+_HALO = 16         # chain depth 4-5 (+3 for the connect2 extension);
+                   # multiple of 8 keeps the i32 sublane tiling happy
 _BLOCK_ROWS = 128
 
 
 def _morph_kernel(top_ref, bot_ref, xg_ref, out_ref, *, h: int, w: int,
-                  bh: int, variant: str, wt: int):
+                  bh: int, variant: str, wt: int, bridge2: bool):
     """wt / xg_ref: TRUE frame width and per-column global x (equal to
     the local column index in the single-chip case) — the interior masks
     and the stringify checkerboard are frame-global, so a halo-widened
@@ -111,6 +112,25 @@ def _morph_kernel(top_ref, bot_ref, xg_ref, out_ref, *, h: int, w: int,
         bridge |= ((n(-2, -1) != 0) & (n(-1, -1) == 2) & (n(1, 0) == 2) &
                    (n(2, 0) != 0))
     conn = jnp.where((set0 | bridge) & interior(2), 1, 0)
+
+    if bridge2:
+        # simple_connect2 (ops/morphology.py): close straight 2-px gaps
+        # between chain ends — the staircase holes the reference's
+        # thinning leaves on shallow-slope edges
+        nzc = (conn != 0).astype(jnp.int32)
+        cnt2 = nzc * 0
+        for dy, dx in NEIGH8:
+            cnt2 = cnt2 + sh(nzc, dy, dx)
+        deg = jnp.where(nzc != 0, cnt2 + 1, 0)
+
+        def d(dy, dx):
+            return sh(deg, dy, dx)
+
+        fill = conn < -1                     # all-False, right shape
+        for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+            fill = fill | ((d(-dy, -dx) == 2) & (d(2 * dy, 2 * dx) == 2))
+            fill = fill | ((d(-2 * dy, -2 * dx) == 2) & (d(dy, dx) == 2))
+        conn = jnp.where(((conn != 0) | fill) & interior(2), 1, 0)
 
     def stringify(img, parity: int):
         corner = (((sh(img, -1, 0) != 0) & (sh(img, 0, -1) != 0)) |
@@ -235,10 +255,11 @@ def quant_despeckle_pallas(packed, edge_mag, n0: int = 24, n1: int = 24,
     return out[:h]
 
 
-@functools.partial(jax.jit, static_argnames=("variant", "bh", "w_total"))
+@functools.partial(jax.jit,
+                   static_argnames=("variant", "bh", "w_total", "bridge2"))
 def morph_chain_pallas(edge_bin, variant: str = "rect",
                        bh: int = _BLOCK_ROWS, x0=0,
-                       w_total: int | None = None):
+                       w_total: int | None = None, bridge2: bool = False):
     """edge_bin (H, W) int32 binary -> strings map, bit-exact vs the
     composed ops/morphology.py chain.
 
@@ -272,7 +293,7 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
     interpret = jax.default_backend() not in ("tpu",)
     out = pl.pallas_call(
         functools.partial(_morph_kernel, h=h, w=w, bh=bh, variant=variant,
-                          wt=wt),
+                          wt=wt, bridge2=bridge2),
         out_shape=jax.ShapeDtypeStruct((h2, w), jnp.int32),
         grid=(nb,),
         in_specs=[spec, spec, rspec],

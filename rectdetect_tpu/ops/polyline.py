@@ -489,7 +489,8 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
     sp = (max(4096, h * w // cfg.strings_sparse_factor)
           if cfg.sparse_factor else None)
 
-    strings = morphology.strings_chain(edge_binary, "poly_branch")
+    strings = morphology.strings_chain(edge_binary, "poly_branch",
+                                       bridge2=cfg.bridge_gap2)
 
     if sp is not None:
         # runtime slot-capacity switch (same pattern as

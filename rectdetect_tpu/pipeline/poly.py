@@ -36,8 +36,11 @@ def poly_frame(bgr, cfg: PipelineConfig = DEFAULT_CONFIG,
         big_cap=max(4096, h * w // 2),   # raw thinned map: ~32% density
         round_cap=cfg.weak_ccl_round_cap, pieces_ok=True)
     st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
-    lbl = ccl.filter_strength(lbl, st, strength)
-    edge = (lbl > 0).astype(jnp.int32)
+    filtered = ccl.filter_strength(lbl, st, strength)
+    if cfg.strength_rescue_rounds:
+        filtered = ccl.rescue_filtered(lbl, filtered,
+                                       cfg.strength_rescue_rounds)
+    edge = (filtered > 0).astype(jnp.int32)
 
     cap = cfg.ls_cap_for(w, h)
     return polyline.polyline_execute(edge, minerror, size_thre, cap, cfg)

@@ -152,7 +152,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     # reference accidentally marks border pixels of isolated zero-islands
     # as "edges" for the downstream blur.
     with jax.named_scope("edge_labeling"):
-        s = morphology.strings_chain(edge_bin, "rect")
+        s = morphology.strings_chain(edge_bin, "rect",
+                                     bridge2=cfg.bridge_gap2)
         scomp = None
         if sp is not None:
             # labels feed only calcStrength/filterStrength -> capped
@@ -174,6 +175,9 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
                                comp=scomp)
         weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak,
                                        comp=scomp)
+        if cfg.strength_rescue_rounds:
+            weak_lbl = ccl.rescue_filtered(lbl, weak_lbl,
+                                           cfg.strength_rescue_rounds)
         weak_bin = (weak_lbl > 0).astype(jnp.int32)
 
     # edge-limited blur + quantize + despeckle (oclrect.c:286-303)
@@ -187,6 +191,9 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     # strong edges (oclrect.c:307-312)
     strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong,
                                      comp=scomp)
+    if cfg.strength_rescue_rounds:
+        strong_lbl = ccl.rescue_filtered(weak_lbl, strong_lbl,
+                                         cfg.strength_rescue_rounds)
     strong_bin = (strong_lbl > 0).astype(jnp.int32)
 
     # merge masks + region CCL + cleanup (oclrect.c:314-336)
@@ -271,6 +278,8 @@ def rect_stage_images(bgr, cfg: PipelineConfig = DEFAULT_CONFIG):
     fe = edge_frontend(bgr, cfg)
     jn = morphology.simple_junction(fe.edge_bin, positive_only=True)
     conn = morphology.simple_connect_rect(jn)
+    if cfg.bridge_gap2:
+        conn = morphology.simple_connect2(conn)
     s = morphology.stringify(conn, 0)
     s = morphology.stringify(s, 1)
     lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps)

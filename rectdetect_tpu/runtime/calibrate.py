@@ -55,12 +55,14 @@ def _densities(bgr_frames, cfg: PipelineConfig):
         # weak-CCL instance + strength filters, pipeline/rect.py) — its
         # actual density, not a proxy
         edge_bin = (st["edge_thin"] > 0).astype(jnp.int32)
-        srect = morphology.strings_chain(edge_bin, "rect")
+        srect = morphology.strings_chain(edge_bin, "rect",
+                                         bridge2=cfg.bridge_gap2)
         rect_strings_d = jnp.mean((srect != 0).astype(jnp.float32))
         # strings_sparse_factor compacts the polyline strings (post
         # removeBranch, ~half the rect-variant density)
         strong_bin = (st["strong_labels"] > 0).astype(jnp.int32)
-        strings = morphology.strings_chain(strong_bin, "poly_branch")
+        strings = morphology.strings_chain(strong_bin, "poly_branch",
+                                           bridge2=cfg.bridge_gap2)
         strings_d = jnp.mean((strings != 0).astype(jnp.float32))
         hw = strings.shape[0] * strings.shape[1]
         comp = compact_mask((strings != 0).reshape(-1), max(4096, hw // 2))

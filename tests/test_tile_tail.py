@@ -36,7 +36,8 @@ def _frontend(h, w, seed=7):
 
 def _single_chip_tail_maps(packed0, edge_thin, edge_bin, cfg=CFG):
     """The dense single-chip stage sequence of rect_tail up to boundary."""
-    s = morphology.strings_chain(edge_bin, "rect")
+    s = morphology.strings_chain(edge_bin, "rect",
+                                 bridge2=cfg.bridge_gap2)
     lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps)
     st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale)
     weak = ccl.filter_strength(lbl, st, cfg.strength_weak)
@@ -71,7 +72,8 @@ def _tiled_tail_maps(packed0, edge_thin, edge_bin, n_tiles, cfg=CFG):
                     "mask", "seg", "bmark", "boundary")},
         check_vma=False)
     def run(pk, et, eb):
-        s = dtile.strings_chain_tiled(eb, "rect")
+        s = dtile.strings_chain_tiled(eb, "rect",
+                                      bridge2=cfg.bridge_gap2)
         glabel = dtile.ccl_tiled(s, 0, cfg=cfg)
         st = dtile.calc_strength_tiled(et, glabel, cfg.strength_scale)
         weak = dtile.filter_strength_tiled(glabel, st, cfg.strength_weak)

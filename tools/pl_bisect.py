@@ -52,7 +52,7 @@ def main():
     @jax.jit
     def front(bgr):
         fe = edge_frontend(bgr, cfg)
-        s = morphology.strings_chain(fe.edge_bin, "rect")
+        s = morphology.strings_chain(fe.edge_bin, "rect", bridge2=cfg.bridge_gap2)
         lbl = ccl.label_components_adaptive(
             s, 0, cfg.ccl_passes, cfg.ccl_jumps,
             small_cap=max(4096, h * w // 8), big_cap=spw,

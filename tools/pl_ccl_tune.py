@@ -48,7 +48,7 @@ def main():
     @jax.jit
     def prep(bgr):
         fe = edge_frontend(bgr, cfg)
-        s = morphology.strings_chain(fe.edge_bin, "rect")
+        s = morphology.strings_chain(fe.edge_bin, "rect", bridge2=cfg.bridge_gap2)
         lbl = ccl.label_components_adaptive(
             s, 0, cfg.ccl_passes, cfg.ccl_jumps,
             small_cap=max(4096, h * w // 8), big_cap=spw,
@@ -57,7 +57,7 @@ def main():
         weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
         strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)
         strong_bin = (strong_lbl > 0).astype(jnp.int32)
-        strings = morphology.strings_chain(strong_bin, "poly_branch")
+        strings = morphology.strings_chain(strong_bin, "poly_branch", bridge2=cfg.bridge_gap2)
         comp = compact_mask((strings != 0).reshape(-1), sp)
         label = ccl.label_components(strings, 0, cfg.ccl_passes,
                                      cfg.ccl_jumps, sparse_cap=sp,
