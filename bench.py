@@ -35,7 +35,30 @@ def synth_frame(h, w, seed=0):
     return img
 
 
+def _device_available(timeout_s: int = 240) -> bool:
+    """Probe device init in a subprocess: on relay-transported platforms
+    a dead relay makes jax.devices() hang, which would hang the whole
+    bench run.  A failed probe prints a diagnostic JSON line instead."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_available():
+        print(json.dumps({"metric": "vidrect_720p_fps_per_chip",
+                          "value": 0.0, "unit": "frames/s",
+                          "vs_baseline": 0.0,
+                          "note": "device backend unavailable "
+                                  "(relay down); no measurement taken"}))
+        return 3
+
     import jax
     import jax.numpy as jnp
     from rectdetect_tpu.runtime.cache import enable_persistent_cache
