@@ -115,6 +115,61 @@ def simple_connect_poly(jn):
     return out
 
 
+def simple_connect2(conn):
+    """Loop-level oracle of the 2-px gap bridging accuracy extension
+    (rectdetect_tpu.ops.morphology.simple_connect2 — no reference kernel;
+    closes the straight 2-px staircase holes the thinning leaves)."""
+    ih, iw = conn.shape
+    deg = np.zeros((ih, iw), np.int64)
+    for y in range(ih):
+        for x in range(iw):
+            if conn[y, x] == 0:
+                continue
+            c = 1
+            for i in range(8):
+                yy, xx = y + RY[i], x + RX[i]
+                if 0 <= yy < ih and 0 <= xx < iw and conn[yy, xx] != 0:
+                    c += 1
+            deg[y, x] = c
+
+    def d(y, x):
+        return deg[y, x] if 0 <= y < ih and 0 <= x < iw else 0
+
+    out = np.zeros((ih, iw), np.int64)
+    for y in range(2, ih - 2):
+        for x in range(2, iw - 2):
+            if conn[y, x] != 0:
+                out[y, x] = 1
+                continue
+            hit = False
+            for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+                if d(y - dy, x - dx) == 2 and d(y + 2 * dy, x + 2 * dx) == 2:
+                    hit = True
+                if d(y - 2 * dy, x - 2 * dx) == 2 and d(y + dy, x + dx) == 2:
+                    hit = True
+            out[y, x] = 1 if hit else 0
+    return out
+
+
+def rescue_filtered(pre_label, filtered, rounds=3):
+    """Loop-level oracle of ccl.rescue_filtered."""
+    ih, iw = pre_label.shape
+    out = filtered.copy()
+    for _ in range(rounds):
+        nxt = out.copy()
+        for y in range(ih):
+            for x in range(iw):
+                if pre_label[y, x] <= 0 or out[y, x] > 0:
+                    continue
+                for i in range(8):
+                    yy, xx = y + RY[i], x + RX[i]
+                    if 0 <= yy < ih and 0 <= xx < iw and out[yy, xx] > 0:
+                        nxt[y, x] = pre_label[y, x]
+                        break
+        out = nxt
+    return out
+
+
 def stringify(img, parity):
     ih, iw = img.shape
     out = img.copy()

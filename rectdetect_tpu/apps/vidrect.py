@@ -39,8 +39,13 @@ def main(argv=None) -> int:
                                     (streams := int(a.split("=")[1])) >= 0)]
     argv = [a for a in argv if not (a.startswith("--tiles=") and
                                     (tiles := int(a.split("=")[1])) >= 0)]
-    argv = [a for a in argv if not (a.startswith("--trace=") and
-                                    (trace_dir := a.split("=", 1)[1]))]
+    kept = []
+    for a in argv:
+        if a.startswith("--trace="):
+            trace_dir = a.split("=", 1)[1] or None
+        else:
+            kept.append(a)
+    argv = kept
     if len(argv) < 2:
         sys.stderr.write(
             f"Usage : {argv[0]} [device number] [input video file] "
@@ -83,6 +88,8 @@ def main(argv=None) -> int:
     cfg = load_calibrated_config(ih, iw)
     if tiles > 1 and (streams > 1 or batch > 1):
         sys.exit("--tiles cannot be combined with --streams/--batch")
+    if trace_dir and (streams > 1 or batch > 1):
+        sys.exit("--trace only supports the single-stream loop")
     if tiles > 1:
         import jax
         devs = jax.devices()
@@ -122,6 +129,17 @@ def main(argv=None) -> int:
         tracing = True
         print(f"tracing to {trace_dir}")
 
+    try:
+        return _steady_loop(pump, det, writer, winname, frames, n, meter)
+    finally:
+        if tracing:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"trace written to {trace_dir}")
+
+
+def _steady_loop(pump, det, writer, winname, frames, n, meter):
+    import cv2
     while True:
         frame = pump.next(timeout_ms=5000)
         if frame is None:
@@ -145,10 +163,6 @@ def main(argv=None) -> int:
             if key in (27, 13):
                 break
 
-    if tracing:
-        import jax
-        jax.profiler.stop_trace()
-        print(f"trace written to {trace_dir}")
     if writer is not None:
         writer.release()
     pump.close()

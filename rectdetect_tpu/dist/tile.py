@@ -200,8 +200,11 @@ def edge_frontend_tiled(bgr_tile, halo: int = 16,
                         axis_name: str = "tile"):
     """The edge front-end on a width-tile: returns (edge_thin, edge_bin)
     for the local tile, equal to the single-chip result's tile."""
-    lab = color.bgr_to_labf(bgr_tile)
-    labq = color.quantize_labf(lab)
+    if cfg.color_exact:
+        # bit-parity mode, same as pipeline/frontend.py:32-39
+        labq = color.unpack_labf(color.bgr_to_packed_exact(bgr_tile))
+    else:
+        labq = color.quantize_labf(color.bgr_to_labf(bgr_tile))
     wide = halo_exchange_w(labq.transpose(2, 0, 1), halo, axis_name)
     labb = jnp.stack([blur.gaussian_blur(wide[c], cfg.blur_radius)
                       for c in range(3)], axis=-1)

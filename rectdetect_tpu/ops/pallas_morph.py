@@ -30,8 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rectdetect_tpu.ops.shifts import NEIGH8
 
-_HALO = 16         # chain depth 4-5 (+3 for the connect2 extension);
-                   # multiple of 8 keeps the i32 sublane tiling happy
+_HALO = 8          # chain depth 4-5; multiple of 8 keeps the i32
+                   # sublane tiling happy
+_HALO_B2 = 16      # +3 stencil depth when the connect2 extension is on
 _BLOCK_ROWS = 128
 
 
@@ -42,7 +43,7 @@ def _morph_kernel(top_ref, bot_ref, xg_ref, out_ref, *, h: int, w: int,
     and the stringify checkerboard are frame-global, so a halo-widened
     width tile (dist/tile.py) passes its offset column map here."""
     blk = pl.program_id(0)
-    q = _HALO
+    q = _HALO_B2 if bridge2 else _HALO
     eh = bh + 2 * q
     top = top_ref[:]                       # rows [i*bh - q, (i+1)*bh - q)
     bot = bot_ref[:]                       # rows [i*bh + q, (i+1)*bh + q)
@@ -273,7 +274,7 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
     wt = w if w_total is None else w_total
     xg_row = (jnp.arange(w, dtype=jnp.int32)[None, :] + x0)
     x = edge_bin.astype(jnp.int32)
-    q = _HALO
+    q = _HALO_B2 if bridge2 else _HALO
     # bh >= 2q so the two rolled copies cover the (bh + 2q) window;
     # VMEM budget: (bh + 2q) * w <= 184320 elems (measured limit — the
     # 720p default bh=128 sits just under it; 1080p OOMs without this)

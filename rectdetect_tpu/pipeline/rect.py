@@ -170,7 +170,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
             scomp = compact_mask((s != 0).reshape(-1), sp)
         else:
             lbl = ccl.label_components(s, 0, cfg.ccl_passes,
-                                       cfg.ccl_jumps)
+                                       cfg.ccl_jumps,
+                                       bh=cfg.ccl_bh or None)
         st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale,
                                comp=scomp)
         weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak,
@@ -222,7 +223,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
             force_xla=cfg.boundary_tpu_sparse, bh=cfg.ccl_bh or None)
     else:
         boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
-                                        cfg.ccl_jumps)
+                                        cfg.ccl_jumps,
+                                        bh=cfg.ccl_bh or None)
 
     return rect_geometry_tail(strong_bin, boundary, tan_aov, cfg)
 
@@ -282,14 +284,21 @@ def rect_stage_images(bgr, cfg: PipelineConfig = DEFAULT_CONFIG):
         conn = morphology.simple_connect2(conn)
     s = morphology.stringify(conn, 0)
     s = morphology.stringify(s, 1)
-    lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps)
+    lbl = ccl.label_components(s, 0, cfg.ccl_passes, cfg.ccl_jumps,
+                               bh=cfg.ccl_bh or None)
     st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
     weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
+    if cfg.strength_rescue_rounds:
+        weak_lbl = ccl.rescue_filtered(lbl, weak_lbl,
+                                       cfg.strength_rescue_rounds)
     weak_bin = (weak_lbl > 0).astype(jnp.int32)
     blurred = regions.blblur(fe.packed0, weak_bin, cfg.blblur_iters)
     quant = regions.quantize_packed(blurred)
     despeck = regions.despeckle(quant, fe.edge_thin)
     strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)
+    if cfg.strength_rescue_rounds:
+        strong_lbl = ccl.rescue_filtered(weak_lbl, strong_lbl,
+                                         cfg.strength_rescue_rounds)
     mask = regions.junction_merge_mask(strong_lbl)
     seg = regions.label_merge(despeck, mask, strong_lbl,
                               cfg.labelmerge_passes, cfg.labelmerge_jumps)

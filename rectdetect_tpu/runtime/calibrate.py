@@ -170,13 +170,29 @@ def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
     that is truthful on relay-transported devices, where
     block_until_ready acks enqueue rather than completion.
 
-    time_fn(bh) -> seconds overrides the measurement (tests)."""
+    time_fn(bh) -> seconds overrides the measurement (tests).
+
+    Candidates whose block exceeds the Pallas VMEM budget for the frame
+    width are skipped up front (the same ccl_bh also drives
+    label_merge_exact and label_components_pieces, whose kernels hold
+    more live block buffers); the winner is validated by compiling the
+    merge kernel before being persisted.  NOTE: pieces boundaries depend
+    on bh — rerun the capacity calibration after changing it."""
     import time
 
     import jax
     import jax.numpy as jnp
 
+    if time_fn is None and jax.default_backend() != "tpu":
+        print("tune_kernels: backend is not TPU — the block height only "
+              "drives the Pallas kernels; nothing to tune, plan unchanged")
+        return cfg
+
     if time_fn is None:
+        from rectdetect_tpu.ops.pallas_ccl import _BLOCK_ELEMS
+        candidates = [bh for bh in candidates
+                      if bh * w <= _BLOCK_ELEMS] or [_BLOCK_ELEMS // w
+                                                     // 8 * 8]
         from rectdetect_tpu.ops.ccl import label_components
 
         rng = np.random.default_rng(0)
@@ -206,6 +222,23 @@ def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
     if not results:
         return cfg
     best = min(results, key=results.get)
+    if time_fn is None:
+        # the winner must also be legal for the links-mode kernel
+        # (label_merge_exact holds more live block buffers)
+        from rectdetect_tpu.ops.pallas_ccl import label_merge_exact
+        for bh in sorted(results, key=results.get):
+            try:
+                r = label_merge_exact(jnp.zeros((h, w), jnp.int32),
+                                      jnp.zeros((h, w), jnp.int32),
+                                      jnp.zeros((h, w), jnp.int32), bh=bh)
+                np.asarray(r)[:1, :1]
+                best = bh
+                break
+            except Exception as e:
+                print(f"tune_kernels: bh={bh} fails label_merge "
+                      f"({type(e).__name__}), trying next")
+        else:
+            return cfg
     for bh in sorted(results):
         mark = " <-- best" if bh == best else ""
         print(f"tune_kernels: bh={bh:4d}  {results[bh] * 1e3:8.2f} ms"

@@ -100,3 +100,38 @@ def test_shallow_slope_quad_detected_end_to_end():
         return best
 
     assert min(err(d) for d in dets) <= 3.0
+
+
+def test_connect2_matches_golden():
+    import golden.labeling as G
+    r = np.random.default_rng(3)
+    img = (r.random((40, 52)) < 0.22).astype(np.int32)
+    a = np.asarray(morphology.simple_connect2(jnp.asarray(img)))
+    b = G.simple_connect2(img.astype(np.int64))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_rescue_matches_golden():
+    import golden.labeling as G
+    r = np.random.default_rng(4)
+    pre = np.where(r.random((30, 40)) < 0.3,
+                   r.integers(1, 900, (30, 40)), 0).astype(np.int32)
+    filt = np.where(r.random((30, 40)) < 0.5, pre, -1).astype(np.int32)
+    filt = np.where(pre > 0, filt, -1)
+    a = np.asarray(ccl.rescue_filtered(jnp.asarray(pre),
+                                       jnp.asarray(filt), 3))
+    b = G.rescue_filtered(pre.astype(np.int64), filt.astype(np.int64), 3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_morph_bridge2_parity():
+    """The fused Pallas chain with the connect2 stage (the production
+    default on TPU) is bit-exact vs the jnp composition, both variants,
+    including across block boundaries."""
+    from rectdetect_tpu.ops.pallas_morph import morph_chain_pallas
+    r = np.random.default_rng(6)
+    eb = jnp.asarray((r.random((70, 48)) < 0.25).astype(np.int32))
+    for variant in ("rect", "poly_branch"):
+        a = np.asarray(morphology.strings_chain(eb, variant, bridge2=True))
+        b = np.asarray(morph_chain_pallas(eb, variant, bh=24, bridge2=True))
+        np.testing.assert_array_equal(a, b, err_msg=variant)
