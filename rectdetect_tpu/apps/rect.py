@@ -38,6 +38,11 @@ def main(argv=None) -> int:
     if cfg == DEFAULT_CONFIG:
         print("No plan")                              # vidrect.cpp:125
         cfg = cal.calibrate([jnp.asarray(img)])
+    elif not cal.plan_fits(cfg, img):
+        # a plan calibrated on a sparser scene class would silently
+        # truncate this image's edge map — recalibrate on it instead
+        print("Plan does not fit this image; recalibrating")
+        cfg = cal.calibrate([jnp.asarray(img)])
 
     tan_aov = math.tan(72.0 / 2 / 180.0 * math.pi)   # rect.cpp:84
     res = rect_frame(jnp.asarray(img), tan_aov, cfg)

@@ -118,6 +118,12 @@ def main(argv=None) -> int:
     frame = pump.next(timeout_ms=5000)
     if frame is None:
         sys.exit("no frames")
+    from rectdetect_tpu.runtime.calibrate import plan_fits
+    if not plan_fits(cfg, frame):
+        print("WARNING: the capacity plan does not fit this stream's "
+              "scene density — detections may be truncated; run "
+              "tools/calibrate_bench.py (or apps.rect on a sample "
+              "frame) to recalibrate", file=sys.stderr)
     frames[n & 1] = frame
     det.enqueue(frames[n & 1])
     n += 1

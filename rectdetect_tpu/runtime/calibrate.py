@@ -135,6 +135,34 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     return new
 
 
+def plan_fits(cfg: PipelineConfig, bgr, headroom: float = 1.1) -> bool:
+    """Cheap probe: does this frame's foreground fit the plan's slot
+    capacities?
+
+    A capacity plan calibrated on one scene class can silently truncate
+    a much denser one (a clean-scene plan on a noisy frame drops most of
+    the edge map and detections collapse — measured, not hypothetical).
+    This checks only the CHEAP densities (thinned edges + both string
+    variants: one front-end + morphology pass, no labeling), which are
+    the caps that fail first and correlate with the rest; callers
+    recalibrate when it returns False (apps.rect) or warn (vidrect)."""
+    import jax.numpy as jnp
+    from rectdetect_tpu.ops import morphology
+    from rectdetect_tpu.pipeline.frontend import edge_frontend
+
+    if not cfg.sparse_factor:
+        return True                       # dense mode has no caps
+    fe = edge_frontend(jnp.asarray(bgr), cfg)
+    srect = morphology.strings_chain(fe.edge_bin, "rect",
+                                     bridge2=cfg.bridge_gap2)
+    spoly = morphology.strings_chain(fe.edge_bin, "poly_branch",
+                                     bridge2=cfg.bridge_gap2)
+    rect_d = float(jnp.mean((srect != 0).astype(jnp.float32)))
+    poly_d = float(jnp.mean((spoly != 0).astype(jnp.float32)))
+    return (rect_d * headroom <= 1.0 / cfg.sparse_factor and
+            poly_d * headroom <= 1.0 / cfg.strings_sparse_factor)
+
+
 def _plan_lookup(dev: str, platform: str, h: int, w: int,
                  plan_path: str):
     """Exact device-kind key, else (for non-CPU devices) any persisted

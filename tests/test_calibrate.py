@@ -87,3 +87,22 @@ def test_tune_kernels_persist_and_apply(tmp_path):
     cfg2 = calibrate.tune_kernels(24, 32, plan_path=plan,
                                   candidates=(48, 64, 96), time_fn=flaky)
     assert cfg2.ccl_bh == 48
+
+
+def test_plan_fits_probe():
+    """A plan calibrated on a sparse scene must be flagged unfit for a
+    dense noisy frame (the zero-detection stale-plan failure), and fit
+    for its own scene class."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, ".")
+    from bench import synth_frame
+    from rectdetect_tpu.config import DEFAULT_CONFIG
+
+    noisy = synth_frame(96, 128, seed=0)
+    tight = dataclasses.replace(DEFAULT_CONFIG, sparse_factor=16,
+                                strings_sparse_factor=24)
+    assert not calibrate.plan_fits(tight, noisy)
+    assert calibrate.plan_fits(DEFAULT_CONFIG, noisy)
+    assert calibrate.plan_fits(
+        dataclasses.replace(DEFAULT_CONFIG, sparse_factor=0), noisy)
