@@ -92,3 +92,12 @@ def test_vidrect_app_trace(assets, monkeypatch, tmp_path):
     assert vidrect.main(["vidrect", "0", assets["vid"], out, "72",
                          f"--trace={trace}"]) == 0
     assert os.path.isdir(trace) and os.listdir(trace)
+
+
+def test_vidrect_app_batched(assets, monkeypatch):
+    monkeypatch.chdir(assets["dir"])
+    out = os.path.join(assets["dir"], "vrb.avi")
+    from rectdetect_tpu.apps import vidrect
+    assert vidrect.main(["vidrect", "0", assets["vid"], out, "72",
+                         "--batch=2"]) == 0
+    assert os.path.getsize(out) > 0
