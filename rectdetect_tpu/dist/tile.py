@@ -492,6 +492,29 @@ def rect_step_tiled(frame_tile, tan_aov, halo: int = 16,
                            axis_name=axis_name)
 
 
+def poly_step_tiled(frame_tile, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    minerror: float = 1.0, size_thre: int = 20,
+                    strength: int = 2000, halo: int = 16,
+                    axis_name: str = "tile"):
+    """The poly/vidpoly pipeline with the front-end and the edge
+    labeling sharded over width tiles; the polyline stage runs
+    replicated on the gathered filtered edge map, with the arc walk's
+    doubling gathers sharded by slot range (same placement as
+    rect_tail_tiled's geometry tail).  Returns (SegmentArena, lsid),
+    identical on every tile rank."""
+    et, eb = edge_frontend_tiled(frame_tile, halo, cfg, axis_name)
+    glabel = ccl_tiled(eb, 0, cfg=cfg, axis_name=axis_name)
+    st = calc_strength_tiled(et, glabel, cfg.strength_scale, axis_name)
+    filtered = filter_strength_tiled(glabel, st, strength, axis_name)
+    edge = (filtered > 0).astype(jnp.int32)
+    ef = lax.all_gather(edge, axis_name, axis=1, tiled=True)
+    ih, iw = ef.shape
+    from rectdetect_tpu.ops import polyline as pl_ops
+    cap = cfg.ls_cap_for(iw, ih)
+    return pl_ops.polyline_execute(ef, minerror, size_thre, cap, cfg,
+                                   axis_name=axis_name)
+
+
 def rect_step_tiled_gather(frame_tile, tan_aov, halo: int = 16,
                            cfg: PipelineConfig = DEFAULT_CONFIG,
                            axis_name: str = "tile"):

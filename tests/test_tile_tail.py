@@ -201,3 +201,69 @@ def test_rect_tail_tiled_matches_dense_rect_tail():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(got.value),
                                np.asarray(ref.value), atol=1e-5)
+
+
+def test_poly_step_tiled_matches_single_chip():
+    """Tiled poly pipeline (sharded front-end + edge labeling, replicated
+    polyline with sharded walk) equals the exact single-chip composition."""
+    from rectdetect_tpu.ops import ccl as C, morphology, polyline as PL
+    from rectdetect_tpu.pipeline.frontend import edge_frontend
+
+    cfg = PipelineConfig(ls_capacity=512, number_doublings=10)
+    bgr = synth_scene(h=48, w=32 * 8, seed=15)
+    fe = edge_frontend(jnp.asarray(bgr), cfg)
+    lbl = C.label_components(fe.edge_bin, 0, cfg.ccl_passes, cfg.ccl_jumps)
+    st = C.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
+    edge = (C.filter_strength(lbl, st, 2000) > 0).astype(jnp.int32)
+    ref_arena, ref_lsid = PL.polyline_execute(edge, 1.0, 20, 512, cfg)
+
+    m = dmesh.make_mesh(1, 8)
+
+    @functools.partial(shard_map, mesh=m, in_specs=P(None, "tile", None),
+                       out_specs=P(), check_vma=False)
+    def run(t):
+        return dtile.poly_step_tiled(t, cfg, 1.0, 20, 2000)
+
+    got_arena, got_lsid = jax.jit(run)(jnp.asarray(bgr))
+    # front-end float reassociation can flip borderline NMS pixels at
+    # seams; require full agreement of the surviving segment geometry
+    # for matching ids and <1% lsid disagreement
+    ref_l = np.asarray(ref_lsid)
+    got_l = np.asarray(got_lsid)
+    assert (ref_l != got_l).mean() < 0.01
+    live = (np.asarray(ref_arena.polyid) != 0) & \
+        (np.asarray(got_arena.polyid) != 0)
+    for f in ("sx", "sy", "ex", "ey"):
+        np.testing.assert_allclose(np.asarray(getattr(got_arena, f))[live],
+                                   np.asarray(getattr(ref_arena, f))[live],
+                                   atol=2.0)
+
+
+def test_label_merge_tiled_boustrophedon_exact():
+    """A single uniform-color region snaking across every seam dozens of
+    times: the link-mode seam-graph resolve must converge exactly."""
+    h, wl, nt = 40, 16, 8
+    w = wl * nt
+    # background color A, snake color B carved as a boustrophedon path
+    packed = np.full((h, w), 7, np.int32)
+    for r, y in enumerate(range(2, h - 2, 2)):
+        packed[y, 1:w - 1] = 9
+        col = w - 2 if r % 2 == 0 else 1
+        if y + 2 < h - 2:
+            packed[y + 1, col] = 9
+    mask = np.zeros((h, w), np.int32)
+    edge = np.zeros((h, w), np.int32)
+    ref = np.asarray(regions.label_merge(jnp.asarray(packed),
+                                         jnp.asarray(mask),
+                                         jnp.asarray(edge), n_rounds=64))
+
+    m = dmesh.make_mesh(1, nt)
+
+    @functools.partial(shard_map, mesh=m, in_specs=(P(None, "tile"),) * 3,
+                       out_specs=P(None, "tile"), check_vma=False)
+    def run(p, mk, e):
+        return dtile.label_merge_tiled(p, mk, e, CFG)
+
+    got = np.asarray(jax.jit(run)(jnp.asarray(packed), jnp.asarray(mask),
+                                  jnp.asarray(edge)))
+    np.testing.assert_array_equal(got, ref)
