@@ -40,3 +40,20 @@ def test_wide_kernels_run(w):
     em2, vec2 = edge_front_pallas(labb)
     assert np.asarray(em2).shape == (h, w)
     assert np.asarray(vec2).shape == (h, w, 2)
+
+
+def test_morph_chain_bridge2_wide_fallback():
+    """At >=4K widths the bridge2 halo cannot fit the morph kernel's VMEM
+    budget; the jnp fallback must produce identical strings."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.ops import morphology
+    from rectdetect_tpu.ops.pallas_morph import morph_chain_pallas, _HALO_B2
+
+    w = 3840
+    assert 4 * _HALO_B2 * w > 184320       # the fallback branch fires
+    r = np.random.default_rng(1)
+    eb = jnp.asarray((r.random((24, w)) < 0.2).astype(np.int32))
+    a = np.asarray(morphology.strings_chain(eb, "rect", bridge2=True))
+    b = np.asarray(morph_chain_pallas(eb, "rect", bridge2=True))
+    np.testing.assert_array_equal(a, b)
