@@ -277,24 +277,23 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
     q = _HALO_B2 if bridge2 else _HALO
     if 4 * q * w > 184320:
         # the minimal legal block (bh = 2q) would already exceed the
-        # VMEM budget (bridge2's deeper halo at >=4K widths): compose
-        # the elementary jnp ops instead — correct, just unfused
-        from rectdetect_tpu.ops import morphology as M
-        if variant == "rect":
-            c = M.simple_connect_rect(M.simple_junction(
-                edge_bin, positive_only=True, x0=x0, w_total=wt), x0, wt)
-            if bridge2:
-                c = M.simple_connect2(c, x0, wt)
-            s = M.stringify(c, 0, x0, wt)
-            return M.stringify(s, 1, x0, wt)
-        c = M.simple_connect_poly(
-            M.simple_junction(edge_bin, x0=x0, w_total=wt), x0, wt)
-        if bridge2:
-            c = M.simple_connect2(c, x0, wt)
-        s = M.stringify(M.stringify(c, 0, x0, wt), 1, x0, wt)
-        if variant == "poly_branch":
-            s = M.remove_branch(s, x0, wt)
-        return s
+        # VMEM budget (bridge2's deeper halo at >=4K widths): run the
+        # SAME fused kernel over width chunks, each padded with real
+        # halo columns sliced from its neighbors and the global-x
+        # column map offset accordingly — bit-exact by the same
+        # halo-decay argument as the width-tiled path (dist/tile.py)
+        cw = 2048
+        halo = 16                       # stencil depth 9, tiling-friendly
+        outs = []
+        for cx in range(0, w, cw):
+            lo = max(0, cx - halo)
+            hi = min(w, cx + cw + halo)
+            chunk = edge_bin[:, lo:hi]
+            part = morph_chain_pallas(chunk, variant, bh,
+                                      x0=x0 + lo, w_total=wt,
+                                      bridge2=bridge2)
+            outs.append(part[:, cx - lo:cx - lo + min(cw, w - cx)])
+        return jnp.concatenate(outs, axis=1)
     # bh >= 2q so the two rolled copies cover the (bh + 2q) window;
     # VMEM budget: (bh + 2q) * w <= 184320 elems (measured limit — the
     # 720p default bh=128 sits just under it; 1080p OOMs without this)
