@@ -228,9 +228,22 @@ def quant_despeckle_pallas(packed, edge_mag, n0: int = 24, n1: int = 24,
     """Fused quantize_packed + despeckle, bit-exact vs the composition
     (same sqrt distance domain, same neighbor iteration order)."""
     h, w = packed.shape
+    q = _HALO
+    if 4 * q * w > 102400:
+        # minimal block over the VMEM budget (>=3200 px wide): run the
+        # same kernel over width chunks with real halo columns; the
+        # despeckle stencil reaches 1 px, so an 8-col halo is exact
+        cw, halo = 2048, 8
+        outs = []
+        for cx in range(0, w, cw):
+            lo, hi = max(0, cx - halo), min(w, cx + cw + halo)
+            part = quant_despeckle_pallas(packed[:, lo:hi],
+                                          edge_mag[:, lo:hi],
+                                          n0, n1, n2, bh)
+            outs.append(part[:, cx - lo:cx - lo + min(cw, w - cx)])
+        return jnp.concatenate(outs, axis=1)
     p = packed.astype(jnp.int32)
     e = edge_mag.astype(jnp.float32)
-    q = _HALO
     # the two rolled copies only cover the (bh + 2q) window when bh >= 2q;
     # VMEM budget: (bh + 2q) * w <= 102400 elems (bh=64 at 720p measured)
     bh = min(bh, max(2 * q, (102400 // max(w, 1) - 2 * q) // 8 * 8))
@@ -442,6 +455,18 @@ def merge_mask_pallas(strong_lbl, bh: int = 64, x0=0,
     wt = w if w_total is None else w_total
     q = _MM_HALO
     wp = pl.cdiv(w + 2 * q, 128) * 128
+    if (4 * q + 6) * wp > 115456:
+        # minimal block over the VMEM budget (>=2700 px wide): width
+        # chunks with real halo columns (junction 1 + dilations 8 -> 16
+        # is ample), global-x offsets keep the border guard exact
+        cw, halo = 2048, 16
+        outs = []
+        for cx in range(0, w, cw):
+            lo, hi = max(0, cx - halo), min(w, cx + cw + halo)
+            part = merge_mask_pallas(strong_lbl[:, lo:hi], bh,
+                                     x0=x0 + lo, w_total=wt)
+            outs.append(part[:, cx - lo:cx - lo + min(cw, w - cx)])
+        return jnp.concatenate(outs, axis=1)
     xg = jnp.arange(wp, dtype=jnp.int32)[None, :] - q + x0
     xok = ((xg >= 1) & (xg < wt - 1) &
            (jnp.arange(wp)[None, :] >= q) &

@@ -86,6 +86,19 @@ def _thin_kernel(em8_ref, vx_ref, vy_ref, out_ref, *, bh: int, mode: str,
 def _thin_pallas(edge_img, vec, mode: str, slack: float, bh: int):
     h, w = edge_img.shape
     wp = pl.cdiv(w + 2 * _R, 128) * 128
+    if 8 * wp > 22528:
+        # even the minimal 8-row block exceeds the VMEM budget
+        # (>=2800 px wide): width chunks with real halo columns; the
+        # NMS samples reach <= 3 px (+-2 along the direction with
+        # bicubic +-1), so an 8-col halo is exact
+        cw, halo = 2048, 8
+        outs = []
+        for cx in range(0, w, cw):
+            lo, hi = max(0, cx - halo), min(w, cx + cw + halo)
+            part = _thin_pallas(edge_img[:, lo:hi], vec[:, lo:hi],
+                                mode, slack, bh)
+            outs.append(part[:, cx - lo:cx - lo + min(cw, w - cx)])
+        return jnp.concatenate(outs, axis=1)
     # VMEM budget: bh * wp <= 22528 elems (bh=16 at 720p measured; the
     # per-k weight maps dominate the scoped stack)
     bh = max(8, min(bh, (22528 // wp) // 8 * 8 or 8))

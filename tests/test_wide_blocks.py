@@ -57,3 +57,37 @@ def test_morph_chain_bridge2_wide_fallback():
     a = np.asarray(morphology.strings_chain(eb, "rect", bridge2=True))
     b = np.asarray(morph_chain_pallas(eb, "rect", bridge2=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_wide_kernels_chunked_bit_exact():
+    """merge mask, quantize/despeckle and NMS thinning exceed their VMEM
+    budgets at >=4K widths and switch to width-chunked kernel calls with
+    real halo columns — all bit-exact vs the jnp formulations."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.core import color
+    from rectdetect_tpu.ops import gradient, morphology, regions, thin
+    from rectdetect_tpu.ops.pallas_morph import (merge_mask_pallas,
+                                                 quant_despeckle_pallas)
+    from rectdetect_tpu.ops.pallas_thin import thinthres_pallas
+
+    w, h = 3840, 24
+    r = np.random.default_rng(2)
+
+    lbl = jnp.asarray(r.integers(-1, 30, (h, w)).astype(np.int32))
+    a = np.asarray(regions.merge_mask(
+        morphology.simple_junction(lbl, positive_only=True)))
+    b = np.asarray(merge_mask_pallas(lbl))
+    np.testing.assert_array_equal(a, b, err_msg="merge_mask")
+
+    packed = jnp.asarray(r.integers(0, 2 ** 31 - 1, (h, w)).astype(np.int32))
+    emag = jnp.asarray((r.random((h, w)) * 0.5).astype(np.float32))
+    a = np.asarray(regions.despeckle(regions.quantize_packed(packed), emag))
+    b = np.asarray(quant_despeckle_pallas(packed, emag))
+    np.testing.assert_array_equal(a, b, err_msg="quant_despeckle")
+
+    em = jnp.asarray((r.random((h, w)).astype(np.float32)))
+    vec = gradient.edgevec(em)
+    a = np.asarray(thin.thinthres(em, vec))
+    b = np.asarray(thinthres_pallas(em, vec))
+    np.testing.assert_allclose(a, b, atol=1e-6, err_msg="thinthres")
