@@ -288,7 +288,13 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
     xg_row = (jnp.arange(w, dtype=jnp.int32)[None, :] + x0)
     x = edge_bin.astype(jnp.int32)
     q = _HALO_B2 if bridge2 else _HALO
-    if 4 * q * w > 184320:
+    # bridge2 adds the connect2 stage (one more degree map + fill taps),
+    # so more block buffers are live at once: the (bh + 2q) * w window
+    # budget that just fits the plain chain is ~100 KB over the 16 MB
+    # scoped-VMEM stack for poly_branch+bridge2 at 720p — shave one
+    # 8-row step off the window for bridge2 variants
+    budget = 174080 if bridge2 else 184320
+    if 4 * q * w > budget:
         # the minimal legal block (bh = 2q) would already exceed the
         # VMEM budget (bridge2's deeper halo at >=4K widths): run the
         # SAME fused kernel over width chunks, each padded with real
