@@ -33,13 +33,16 @@ class PipelineConfig:
     # gaps between chain ends before stringify (morphology.
     # simple_connect2) — closes the staircase holes the reference's
     # thinning leaves on shallow-slope edges, which otherwise fragment
-    # a quad side below the polyline size filter.
-    bridge_gap2: bool = True
+    # a quad side below the polyline size filter.  Off by default so
+    # PipelineConfig() reproduces reference semantics; use
+    # EXTENDED_CONFIG / PipelineConfig.extended() to opt in.
+    bridge_gap2: bool = False
     # Fail-open repair rounds after each strength filter (see
     # ccl.rescue_filtered): a killed string pixel 8-adjacent to a
     # surviving one is same-component under exact CCL, so exact
-    # filtering would keep it.  0 disables.
-    strength_rescue_rounds: int = 3
+    # filtering would keep it.  0 disables (reference-faithful default;
+    # extension preset enables 3 rounds).
+    strength_rescue_rounds: int = 0
     # Pallas block-CCL block height; 0 = derive from the VMEM budget
     # (pallas_ccl._pick_bh).  Autotuned per device+resolution by
     # runtime.calibrate.tune_kernels (the plan.txt local-work-size
@@ -142,5 +145,15 @@ class PipelineConfig:
         """Arena capacity: min(config cap, reference's byte budget iw*ih*4*4/56)."""
         return int(min(self.ls_capacity, max(256, iw * ih * 16 // 56)))
 
+    @classmethod
+    def extended(cls, **overrides) -> "PipelineConfig":
+        """Accuracy-extension preset (beyond-reference behavior, opt-in):
+        2-px staircase gap bridging + strength-filter rescue rounds.
+        Measured A/B vs the faithful default in tools/parity_report.py."""
+        base = dict(bridge_gap2=True, strength_rescue_rounds=3)
+        base.update(overrides)
+        return cls(**base)
+
 
 DEFAULT_CONFIG = PipelineConfig()
+EXTENDED_CONFIG = PipelineConfig.extended()

@@ -314,9 +314,9 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
             outs.append(part[:, cx - lo:cx - lo + min(cw, w - cx)])
         return jnp.concatenate(outs, axis=1)
     # bh >= 2q so the two rolled copies cover the (bh + 2q) window;
-    # VMEM budget: (bh + 2q) * w <= 184320 elems (measured limit — the
+    # VMEM budget: (bh + 2q) * w <= budget elems (measured limit — the
     # 720p default bh=128 sits just under it; 1080p OOMs without this)
-    bh = min(bh, max(2 * q, (184320 // max(w, 1) - 2 * q) // 8 * 8))
+    bh = min(bh, max(2 * q, (budget // max(w, 1) - 2 * q) // 8 * 8))
     bh = max(2 * q, min(bh, max(8, (h + 7) // 8 * 8)))
     nb = pl.cdiv(h, bh)
     # pad to whole blocks BEFORE rolling: a trailing partial block would
