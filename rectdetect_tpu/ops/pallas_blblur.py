@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rectdetect_tpu.ops import vmem
+
 
 BLBLURSIZE = 4  # oclrect.cl:72
 
@@ -132,6 +134,7 @@ def blblur_pallas(packed, edge, iters: int = 10):
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=vmem.compiler_params(),
     )(packed.astype(jnp.int32), edge.astype(jnp.int32))
 
 
@@ -226,7 +229,9 @@ def _pass_kernel(packed_ref, edge_ref, ecross_ref, coord_ref, out_ref,
 # (exact by symmetry: the pass math swaps rows/cols wholesale, and the
 # cross map e_right transposes to the down-shift of e^T the H kernel
 # expects).
-_BLOCK_ELEMS = 64 * 1280
+# block size is a measured PERF choice (not just legality): keep the
+# 16 MiB-era block and use the raised kernel limit as safety margin
+_BLOCK_ELEMS = vmem.budget_elems("blblur_pass", limit=vmem.VMEM_LIMIT_BYTES)
 _TALL_H = 1280
 
 
@@ -235,11 +240,15 @@ def _one_pass(packed, edge, ecross, coord, horizontal: bool, block: int,
     h, w = packed.shape
     if horizontal:
         rows = max(8, min(h, (_BLOCK_ELEMS // w) // 8 * 8))
+        vmem.assert_fits("blblur_pass", rows * w)
         bs = (rows, w)
         grid = (pl.cdiv(h, bs[0]),)
         imap = lambda i: (i, 0)
     else:
-        cols = max(128, min(w, (_BLOCK_ELEMS // h) // 128 * 128))
+        cols = max(128, min(w, (vmem.budget_elems(
+            "blblur_pass_v", limit=vmem.VMEM_LIMIT_BYTES) // h)
+            // 128 * 128))
+        vmem.assert_fits("blblur_pass_v", h * cols)
         bs = (h, cols)
         grid = (pl.cdiv(w, bs[1]),)
         imap = lambda i: (0, i)
@@ -252,6 +261,7 @@ def _one_pass(packed, edge, ecross, coord, horizontal: bool, block: int,
         in_specs=[spec, spec, spec, spec],
         out_specs=spec,
         interpret=interpret,
+        compiler_params=vmem.compiler_params(),
     )(packed, edge, ecross, coord)
 
 

@@ -39,11 +39,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rectdetect_tpu.ops.shifts import NEIGH8
+from rectdetect_tpu.ops import vmem
 
 # ~12 live (bh, W) i32 temporaries inside the while body + pallas
 # double-buffering must fit the 16 MB VMEM budget; 128k elements/array
 # (= 512 KB i32) leaves ample headroom (measured headroom at 720p).
-_BLOCK_ELEMS = 96 * 1280
+# block size is a measured PERF choice (not just legality): keep the
+# 16 MiB-era block and use the raised kernel limit as safety margin
+_BLOCK_ELEMS = vmem.budget_elems("ccl_flood", limit=vmem.VMEM_LIMIT_BYTES)
 
 
 def _round_cap(bh: int, w: int) -> int:
@@ -59,7 +62,10 @@ def _round_cap(bh: int, w: int) -> int:
 
 
 def _pick_bh(h: int, w: int) -> int:
+    # callers may also pass an explicit bh (e.g. the calibrated plan's
+    # ccl_bh) — every block entry point re-asserts it below
     bh = max(8, min(h, (_BLOCK_ELEMS // max(w, 1)) // 8 * 8))
+    vmem.assert_fits("ccl_flood", bh * w)
     return bh
 
 
@@ -179,6 +185,7 @@ def _run_blocks(pix, seed, *, bgc: int, mode: str, bh: int, interpret: bool,
                 round_cap: int | None = None, inner_nb: int = 1,
                 want_rounds: bool = False):
     h, w = pix.shape
+    vmem.assert_fits("ccl_flood", bh * w)   # incl. caller-supplied bh
     nb = pl.cdiv(h, bh)
     spec = pl.BlockSpec((bh, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     seeded = seed is not None
@@ -197,6 +204,7 @@ def _run_blocks(pix, seed, *, bgc: int, mode: str, bh: int, interpret: bool,
             in_specs=[spec, spec],
             out_specs=spec,
             interpret=interpret,
+        compiler_params=vmem.compiler_params(),
         )(*args)
     # diagnostic variant: per-block round counts as a tiled VMEM output
     kern = functools.partial(_ccl_block_kernel, bgc=bgc, mode=mode,
@@ -212,6 +220,7 @@ def _run_blocks(pix, seed, *, bgc: int, mode: str, bh: int, interpret: bool,
         in_specs=[spec, spec],
         out_specs=(spec, rspec),
         interpret=interpret,
+        compiler_params=vmem.compiler_params(),
     )(*args)
     return out, rounds[:, 0, 0]
 
@@ -308,7 +317,7 @@ def label_blocked(pix, bgc: int, mode: str = "equal",
         bh = _pick_bh(h, w)
     interpret = jax.default_backend() not in ("tpu",)
     lbl = _run_blocks(pix, None, bgc=bgc, mode=mode, bh=bh,
-                      interpret=interpret, round_cap=round_cap,
+                      interpret=interpret,
                       inner_nb=inner_nb)
     if h <= bh:
         return lbl
@@ -321,7 +330,7 @@ def label_blocked(pix, bgc: int, mode: str = "equal",
     for i, r in enumerate(seam_rows):
         seed = seed.at[r].set(sv[i])
     return _run_blocks(pix, seed, bgc=bgc, mode=mode, bh=bh,
-                       interpret=interpret, round_cap=round_cap,
+                       interpret=interpret,
                        inner_nb=inner_nb)
 
 
@@ -345,7 +354,7 @@ def _label_sparse(pix, bgc: int, mode: str, comp, bh, round_cap,
         bh = _pick_bh(h, w)
     interpret = jax.default_backend() not in ("tpu",)
     lbl = _run_blocks(pix32, None, bgc=bgc, mode=mode, bh=bh,
-                      interpret=interpret, round_cap=round_cap,
+                      interpret=interpret,
                       inner_nb=inner_nb)
     p_s = jnp.clip(comp.idx, 0, n - 1)
     fg_s = _fg(mode, pix32.reshape(-1)[p_s], bgc) & comp.valid()
@@ -407,7 +416,7 @@ def label_components_pieces(pix, bgc: int, round_cap: int,
         bh = _pick_bh(h, w)
     interpret = jax.default_backend() not in ("tpu",)
     lbl = _run_blocks(pix.astype(jnp.int32), None, bgc=bgc, mode="equal",
-                      bh=bh, interpret=interpret, round_cap=round_cap,
+                      bh=bh, interpret=interpret,
                       inner_nb=inner_nb)
     fg = pix != bgc
     return jnp.where(fg, lbl, -1).astype(jnp.int32)
@@ -525,6 +534,7 @@ def _links_block_kernel(lh_ref, lv_ref, seed_ref, out_ref, *,
 
 def _run_links_blocks(lh, lv, seed, *, bh: int, interpret: bool):
     h, w = lh.shape
+    vmem.assert_fits("ccl_merge", bh * w)   # incl. caller-supplied bh
     nb = pl.cdiv(h, bh)
     spec = pl.BlockSpec((bh, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kern = functools.partial(_links_block_kernel, h=h, w=w, bh=bh,
@@ -538,6 +548,7 @@ def _run_links_blocks(lh, lv, seed, *, bh: int, interpret: bool):
         in_specs=[spec, spec, spec],
         out_specs=spec,
         interpret=interpret,
+        compiler_params=vmem.compiler_params(),
     )(lh, lv, seed)
 
 

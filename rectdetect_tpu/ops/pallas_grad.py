@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rectdetect_tpu.ops.gradient import V5C, _SQRT_HALF, _rsqrt
 from rectdetect_tpu.ops.shifts import pad2d
+from rectdetect_tpu.ops import vmem
 
 _R = 2  # pad radius: edgevec reaches +-2, edge +-1
 
@@ -94,8 +95,7 @@ def edge_front_pallas(labb, bh: int = 32):
     edge_lab(quantize_labf(labb))."""
     h, w, _ = labb.shape
     wp = pl.cdiv(w + 2 * _R, 128) * 128
-    # VMEM budget: bh * wp <= 45056 elems (bh=32 at 720p measured)
-    bh = max(8, min(bh, (45056 // wp) // 8 * 8 or 8))
+    bh = vmem.pick_block_rows("edge_front", bh, wp, h=h)
     p = pad2d(jnp.moveaxis(labb, -1, 0), _R, "mirror")    # (3, h+4, w+4)
     lab5 = jnp.stack([p[:, b:b + h, :] for b in range(5)])  # (5,3,h,w+4)
     lab5 = jnp.pad(lab5, ((0, 0), (0, 0), (0, 0), (0, wp - w - 2 * _R)))
@@ -115,6 +115,7 @@ def edge_front_pallas(labb, bh: int = 32):
         in_specs=[spec4],
         out_specs=(spec2, spec2, spec2),
         interpret=interpret,
+        compiler_params=vmem.compiler_params(),
     )(lab5)
     sl = slice(_R, _R + w)
     return em[:, sl], jnp.stack([ux[:, sl], uy[:, sl]], axis=-1)

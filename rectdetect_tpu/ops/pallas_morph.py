@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rectdetect_tpu.ops.shifts import NEIGH8
+from rectdetect_tpu.ops import vmem
 
 _HALO = 8          # chain depth 4-5; multiple of 8 keeps the i32
                    # sublane tiling happy
@@ -229,7 +230,8 @@ def quant_despeckle_pallas(packed, edge_mag, n0: int = 24, n1: int = 24,
     (same sqrt distance domain, same neighbor iteration order)."""
     h, w = packed.shape
     q = _HALO
-    if 4 * q * w > 102400:
+    if not vmem.min_window_fits("quant_despeckle", w, halo=q,
+                                min_rows=2 * q):
         # minimal block over the VMEM budget (>=3200 px wide): run the
         # same kernel over width chunks with real halo columns; the
         # despeckle stencil reaches 1 px, so an 8-col halo is exact
@@ -244,10 +246,9 @@ def quant_despeckle_pallas(packed, edge_mag, n0: int = 24, n1: int = 24,
         return jnp.concatenate(outs, axis=1)
     p = packed.astype(jnp.int32)
     e = edge_mag.astype(jnp.float32)
-    # the two rolled copies only cover the (bh + 2q) window when bh >= 2q;
-    # VMEM budget: (bh + 2q) * w <= 102400 elems (bh=64 at 720p measured)
-    bh = min(bh, max(2 * q, (102400 // max(w, 1) - 2 * q) // 8 * 8))
-    bh = max(2 * q, min(bh, max(8, (h + 7) // 8 * 8)))
+    # the two rolled copies only cover the (bh + 2q) window when bh >= 2q
+    bh = vmem.pick_block_rows("quant_despeckle", bh, w, halo=q,
+                              min_rows=2 * q, h=h)
     nb = pl.cdiv(h, bh)
     h2 = nb * bh
     if h2 != h:
@@ -265,6 +266,7 @@ def quant_despeckle_pallas(packed, edge_mag, n0: int = 24, n1: int = 24,
         in_specs=[ispec] * 4,
         out_specs=ispec,
         interpret=interpret,
+        compiler_params=vmem.compiler_params(),
     )(*args)
     return out[:h]
 
@@ -288,13 +290,16 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
     xg_row = (jnp.arange(w, dtype=jnp.int32)[None, :] + x0)
     x = edge_bin.astype(jnp.int32)
     q = _HALO_B2 if bridge2 else _HALO
-    # bridge2 adds the connect2 stage (one more degree map + fill taps),
-    # so more block buffers are live at once: the (bh + 2q) * w window
-    # budget that just fits the plain chain is ~100 KB over the 16 MB
-    # scoped-VMEM stack for poly_branch+bridge2 at 720p — shave one
-    # 8-row step off the window for bridge2 variants
-    budget = 174080 if bridge2 else 184320
-    if 4 * q * w > budget:
+    # budgets differ by live-buffer count: bridge2 adds the connect2
+    # degree map + fill taps, poly_branch adds the removeBranch degree
+    # map (the 36 KB-over OOM of the first r02 bench run) — key the
+    # measured budget by both (ops/vmem.py)
+    kname = "morph_chain"
+    if variant == "poly_branch":
+        kname += "_branch"
+    if bridge2:
+        kname += "_bridge2"
+    if not vmem.min_window_fits(kname, w, halo=q, min_rows=2 * q):
         # the minimal legal block (bh = 2q) would already exceed the
         # VMEM budget (bridge2's deeper halo at >=4K widths): run the
         # SAME fused kernel over width chunks, each padded with real
@@ -314,10 +319,9 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
             outs.append(part[:, cx - lo:cx - lo + min(cw, w - cx)])
         return jnp.concatenate(outs, axis=1)
     # bh >= 2q so the two rolled copies cover the (bh + 2q) window;
-    # VMEM budget: (bh + 2q) * w <= budget elems (measured limit — the
-    # 720p default bh=128 sits just under it; 1080p OOMs without this)
-    bh = min(bh, max(2 * q, (budget // max(w, 1) - 2 * q) // 8 * 8))
-    bh = max(2 * q, min(bh, max(8, (h + 7) // 8 * 8)))
+    # the 720p default bh=128 sits just under the measured budget;
+    # 1080p OOMs without the clamp
+    bh = vmem.pick_block_rows(kname, bh, w, halo=q, min_rows=2 * q, h=h)
     nb = pl.cdiv(h, bh)
     # pad to whole blocks BEFORE rolling: a trailing partial block would
     # otherwise read undefined out-of-bounds rows of the rolled inputs
@@ -338,6 +342,7 @@ def morph_chain_pallas(edge_bin, variant: str = "rect",
         in_specs=[spec, spec, rspec],
         out_specs=spec,
         interpret=interpret,
+        compiler_params=vmem.compiler_params(),
     )(top, bot, xg_row)
     return out[:h]
 
@@ -461,7 +466,8 @@ def merge_mask_pallas(strong_lbl, bh: int = 64, x0=0,
     wt = w if w_total is None else w_total
     q = _MM_HALO
     wp = pl.cdiv(w + 2 * q, 128) * 128
-    if (4 * q + 6) * wp > 115456:
+    if not vmem.min_window_fits("merge_mask", wp, halo=q,
+                                min_rows=2 * q + 6):
         # minimal block over the VMEM budget (>=2700 px wide): width
         # chunks with real halo columns (junction 1 + dilations 8 -> 16
         # is ample), global-x offsets keep the border guard exact
@@ -479,10 +485,8 @@ def merge_mask_pallas(strong_lbl, bh: int = 64, x0=0,
            (jnp.arange(wp)[None, :] < q + w)).astype(jnp.int32)
     x = strong_lbl.astype(jnp.int32)
     x = jnp.pad(x, ((0, 0), (q, wp - w - q)))
-    # VMEM budget: (bh + 2q) * wp <= 115456 elems (measured at 720p)
-    bh = min(bh, max(2 * q + 6, (115456 // wp - 2 * q) // 8 * 8))
-    bh = max(2 * q + 6, min(bh, max(8, (h + 7) // 8 * 8)))
-    bh = (bh + 7) // 8 * 8
+    bh = vmem.pick_block_rows("merge_mask", bh, wp, halo=q,
+                              min_rows=2 * q + 6, h=h)
     nb = pl.cdiv(h, bh)
     h2 = nb * bh
     if h2 != h:
@@ -500,6 +504,7 @@ def merge_mask_pallas(strong_lbl, bh: int = 64, x0=0,
         in_specs=[spec, spec, rspec],
         out_specs=spec,
         interpret=interpret,
+        compiler_params=vmem.compiler_params(),
     )(top, bot, xok)
     return out[:h, q:q + w]
 
@@ -566,10 +571,8 @@ def distinct_bids_pallas(boundary, bh: int = 64):
     # ever collected, and zero padding must be indistinguishable from bg
     x = jnp.maximum(boundary.astype(jnp.int32), 0)
     x = jnp.pad(x, ((0, 0), (q, wp - w - q)))
-    # VMEM budget: (bh + 2q) * wp <= 98560 elems (measured at 720p)
-    bh = min(bh, max(2 * q + 2, (98560 // wp - 2 * q) // 8 * 8))
-    bh = max(2 * q + 2, min(bh, max(8, (h + 7) // 8 * 8)))
-    bh = (bh + 7) // 8 * 8
+    bh = vmem.pick_block_rows("distinct_bids", bh, wp, halo=q,
+                              min_rows=2 * q + 2, h=h)
     nb = pl.cdiv(h, bh)
     h2 = nb * bh
     if h2 != h:
@@ -586,5 +589,6 @@ def distinct_bids_pallas(boundary, bh: int = 64):
         in_specs=[spec, spec],
         out_specs=(spec, spec, spec, spec),
         interpret=interpret,
+        compiler_params=vmem.compiler_params(),
     )(top, bot)
     return [o[:h, q:q + w] for o in outs]

@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rectdetect_tpu.ops.shifts import pad2d
+from rectdetect_tpu.ops import vmem
 from rectdetect_tpu.ops.thin import _axis_weights
 
 _R = 4          # tap offsets span [-3, +4] (ops/thin.py)
@@ -86,7 +87,7 @@ def _thin_kernel(em8_ref, vx_ref, vy_ref, out_ref, *, bh: int, mode: str,
 def _thin_pallas(edge_img, vec, mode: str, slack: float, bh: int):
     h, w = edge_img.shape
     wp = pl.cdiv(w + 2 * _R, 128) * 128
-    if 8 * wp > 22528:
+    if not vmem.min_window_fits("thin", wp):
         # even the minimal 8-row block exceeds the VMEM budget
         # (>=2800 px wide): width chunks with real halo columns; the
         # NMS samples reach <= 3 px (+-2 along the direction with
@@ -99,9 +100,8 @@ def _thin_pallas(edge_img, vec, mode: str, slack: float, bh: int):
                                 mode, slack, bh)
             outs.append(part[:, cx - lo:cx - lo + min(cw, w - cx)])
         return jnp.concatenate(outs, axis=1)
-    # VMEM budget: bh * wp <= 22528 elems (bh=16 at 720p measured; the
-    # per-k weight maps dominate the scoped stack)
-    bh = max(8, min(bh, (22528 // wp) // 8 * 8 or 8))
+    # the per-k bicubic weight maps dominate the scoped stack
+    bh = vmem.pick_block_rows("thin", bh, wp, h=h)
     p = pad2d(edge_img, _R, "mirror")                     # (h+8, w+8)
     # slice b holds y offset b-3: p[(b-3)+_R + y] = edge[y + b-3]
     em8 = jnp.stack([p[b + 1:b + 1 + h, :] for b in range(8)])
@@ -122,6 +122,7 @@ def _thin_pallas(edge_img, vec, mode: str, slack: float, bh: int):
         in_specs=[spec3, spec2, spec2],
         out_specs=spec2,
         interpret=interpret,
+        compiler_params=vmem.compiler_params(),
     )(em8, vx, vy)
     return out[:, _R:_R + w]
 

@@ -84,9 +84,11 @@ def test_shallow_slope_quad_detected_end_to_end():
         frame, quads = tp.random_scene(66)
     finally:
         tp.W, tp.H = old
+    from rectdetect_tpu.config import EXTENDED_CONFIG
     from rectdetect_tpu.pipeline.rect import rect_frame, live_rects
     dets = live_rects(rect_frame(jnp.asarray(frame),
-                                 math.tan(math.radians(72) / 2)))
+                                 math.tan(math.radians(72) / 2),
+                                 EXTENDED_CONFIG))
     g = np.asarray(quads[0], np.float32)
 
     def err(d):
