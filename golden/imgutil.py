@@ -245,3 +245,70 @@ def srgb2plab_exact(bgr):
                  | min(max(cl, 0), 4095))
             out[y, x] = v - (1 << 32) if v >= (1 << 31) else v
     return out
+
+
+# --- recursive Gaussian blur (iirblur) ---------------------------------------
+#
+# Loop-level transcription of the 6-kernel iirblur chain
+# (oclimgutil.cl:542-637): per row/column an 8-feed-forward /
+# 7-feedback float32 recurrence run once left->right and once
+# right->left, combined as t_fwd + t_bwd - in*coef[0]; then the same
+# vertically.  The scan warms up (r+1+8) samples outside the frame on
+# reflect-101 (mirror1) samples with zero initial state; warmup writes
+# land at repeat1() positions and are overwritten by in-frame writes.
+# Only the r=2 coefficient row is transcribed (the pipeline always runs
+# r=2, oclrect.c:248-250); iircoef[32][15] lives at oclimgutil.cl:900-1125.
+
+IIRCOEF = {
+    1: np.array([1.1968268412, 0.0066482081, -0.0000369159, 0.0000002050,
+                 -0.0000000011, 0.0000000000, -0.0000000000, 0.0000000000,
+                 0.0055541344, -0.0000308409, 0.0000001713, -0.0000000010,
+                 0.0000000000, -0.0000000000, -0.0000000000], np.float32),
+    2: np.array([0.5984134206, 0.1038383077, -0.0121238572, 0.0013108988,
+                 -0.0001376963, 0.0000144192, -0.0000023625, -0.0000000267,
+                 0.1511297752, -0.0176956557, 0.0019154795, -0.0002012217,
+                 0.0000206591, -0.0000006002, 0.0000000180], np.float32),
+}
+
+
+def _iir_half_scan(rows, r, coef, reverse):
+    """One directional pass over (n_rows, n) float32 rows: pass0a/0b
+    (oclimgutil.cl:542-578).  Returns the tmp buffer (warmup writes at
+    repeat1 positions included, exactly as the device leaves them)."""
+    n_rows, n = rows.shape
+    tmp = np.zeros_like(rows)
+    iv = np.zeros((8, n_rows), np.float32)
+    tv = np.zeros((7, n_rows), np.float32)
+    xs = (range(-(r + 1 + 8), n) if not reverse
+          else range(n + (r + 1 + 8), -1, -1))
+    for x in xs:
+        iv[1:] = iv[:-1]
+        iv[0] = rows[:, mirror1(x, n)]
+        # association matches the kernel: d = c0*iv0; d += (ff sum);
+        # d += (fb sum) — each sum left-associated float32
+        d = (coef[0] * iv[0]).astype(np.float32)
+        s = (coef[1] * iv[1]).astype(np.float32)
+        for k in range(2, 8):
+            s += coef[k] * iv[k]
+        d += s
+        s = (coef[8] * tv[0]).astype(np.float32)
+        for j in range(1, 7):
+            s += coef[8 + j] * tv[j]
+        d += s
+        tmp[:, x % n] = d
+        tv[1:] = tv[:-1]
+        tv[0] = d
+    return tmp
+
+
+def iirblur(img, r=2):
+    """Full iirblur_f_f chain (host order oclimgutil.c:243-273):
+    horizontal fwd+bwd combine, then vertical fwd+bwd combine."""
+    img = np.asarray(img, np.float32)
+    coef = IIRCOEF[r]
+    t0 = _iir_half_scan(img, r, coef, reverse=False)
+    t1 = _iir_half_scan(img, r, coef, reverse=True)
+    o = (t0 + t1 - img * coef[0]).astype(np.float32)
+    t0 = _iir_half_scan(np.ascontiguousarray(o.T), r, coef, reverse=False)
+    t1 = _iir_half_scan(np.ascontiguousarray(o.T), r, coef, reverse=True)
+    return (t0.T + t1.T - o * coef[0]).astype(np.float32)
