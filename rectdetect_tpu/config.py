@@ -48,12 +48,29 @@ class PipelineConfig:
     # runtime.calibrate.tune_kernels (the plan.txt local-work-size
     # analog, oclhelper.c:312-605) and applied by load_calibrated_config.
     ccl_bh: int = 0
+    # Per-instance block heights (override ccl_bh=0; measured on v5e at
+    # 720p, tools notes in docs/STATUS.md).  The PIECES instance (weak
+    # strength labels) floods fastest with small blocks — its output is
+    # per-block by design so seams are free; EXACT instances (region
+    # merge links, boundary) want the largest legal block because the
+    # seam-union + reseeded second pass dominate: fewer seams win.
+    pieces_bh: int = 16
+    merge_bh: int = 192
+    boundary_bh: int = 256
     labelpl_passes: int = 12      # N, oclpolyline.c:172
     labelpl_jumps: int = 2        # ref 8, oclpolyline.cl:340; see ccl_jumps
     labelmerge_passes: int = 8    # oclrect.c:328
     labelmerge_jumps: int = 8     # oclrect.cl:328
     # ---- arc numbering --------------------------------------------------
     number_doublings: int = 14    # reach 2^14 px chains (ref reaches ~32768, oclpolyline.cl:287)
+    # Two-phase walk (chain.arc_chain_sparse): after reach
+    # 2^walk_tail_switch only long-chain/cycle states survive (8.2k of
+    # 455k measured on the noisy 720p bench scene); the remaining
+    # doublings run over a compacted sub-list of 2S//walk_tail_factor
+    # states.  Overflow falls back to full-table rounds at runtime
+    # (lax.cond) — always exact.  walk_tail_factor=0 disables.
+    walk_tail_switch: int = 4
+    walk_tail_factor: int = 24
     # ---- polyline stage -------------------------------------------------
     mkpl_iters: int = 16          # N, oclpolyline.c:188 (N-1 subdivision rounds)
     min_n_index: int = 4          # MINNINDEX, oclpolyline.cl:21

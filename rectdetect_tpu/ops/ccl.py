@@ -230,6 +230,56 @@ def filter_strength(label, strength, thre: int, comp=None):
     return out.reshape(h, w)
 
 
+def strength_filter_pair(edge_img, label, comp, thre_weak: int,
+                         thre_strong: int, scale: float = 10000.0):
+    """Fused calcStrength + BOTH filterStrength applications
+    (oclimgutil.cl:641-657; thresholds oclrect.c:277/307).
+
+    Output-identical to
+        st = calc_strength(edge, label, scale, comp)
+        weak = filter_strength(label, st, thre_weak, comp)
+        strong = filter_strength(weak, st, thre_strong, comp)
+    but shares ONE slot gather of (label, strength value) and one gather
+    of the component strengths across the three ops — random-row gathers
+    dominate these table ops (docs/SOL.md), and the unfused form pays
+    six of them at the strings slot count.
+
+    (`strong` from `weak` equals `strong` from `label`: both filters
+    only kill interior pixels by the same per-component predicate, and
+    thre_strong >= thre_weak means the strong kill set contains the weak
+    one.)
+    """
+    h, w = edge_img.shape
+    n = h * w
+    val_full = jnp.trunc(edge_img.reshape(-1) ** 2 * scale
+                         ).astype(jnp.int32)
+    packed = jnp.stack([label.reshape(-1), val_full], axis=1)
+    live = comp.valid()
+    p = jnp.clip(comp.idx, 0, n - 1)
+    rows = packed[p]                               # one (S,2) row gather
+    lbl_s = rows[:, 0]
+    val_s = rows[:, 1]
+    yy = p // w
+    xx = p % w
+    inter = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
+    ok = live & inter & (lbl_s > 0)
+    tgt = jnp.where(ok, lbl_s, n)
+    st = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(
+        jnp.where(ok, val_s, 0), mode="drop")[:n]
+    st_s = st[jnp.clip(lbl_s, 0, n - 1)]           # one (S,) gather
+
+    inter_full = _interior_mask(h, w, 1)
+    base = jnp.where(inter_full, -1, label).reshape(-1)
+    base = jnp.concatenate([base, jnp.zeros((1,), base.dtype)])
+
+    def filt(thre):
+        keep = live & (lbl_s > 0) & (st_s >= thre)
+        out = base.at[jnp.where(keep, p, n)].set(lbl_s, mode="drop")[:n]
+        return out.reshape(h, w)
+
+    return filt(thre_weak), filt(thre_strong), st
+
+
 def rescue_filtered(pre_label, filtered, rounds: int = 3):
     """Fail-open repair of strength filtering under piece labels.
 

@@ -230,7 +230,9 @@ def _arc_number_sparse(label, n0, n1, n_doublings: int, cap: int,
 
 
 def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
-                     axis_name: str | None = None):
+                     axis_name: str | None = None,
+                     tail_switch_rounds: int = 6,
+                     tail_cap: int = 0):
     """Arc-length numbering with built-in loop breaking, in one walk.
 
     Replaces the polyline pipeline's strings-CCL -> count_ends ->
@@ -268,6 +270,14 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
     axis_name: shard the main walk's doubling gathers by slot range over
     this mesh axis (see _doubling_rows); the tiny cycle re-walk stays
     replicated.  Output is identical (and replicated) either way.
+
+    tail_switch_rounds/tail_cap: after 2^tail_switch_rounds reach, the
+    surviving (non-fixpoint) walk states are compacted into a
+    tail_cap-slot sub-list and the remaining doublings run there —
+    the dominant random-gather cost drops from 2S rows to ~3*tail_cap
+    rows per round (phase-2 comment below).  tail_cap=0 disables
+    (every round over the full table).  The phase-2 gathers are always
+    replicated; axis_name shards phase 1 only.
     """
     h, w = strings.shape
     n = h * w
@@ -277,35 +287,126 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
     S = comp.cap
     live = comp.valid()
     p_s = jnp.clip(comp.idx, 0, n - 1)
-    n0_s = n0[p_s]
-    n1_s = n1[p_s]
+    # one (S,2) row gather for both neighbor maps (random-row gathers
+    # cost per ROW, not per element — docs/SOL.md)
+    n01_s = jnp.stack([n0, n1], axis=1)[p_s]
+    n0_s = n01_s[:, 0]
+    n1_s = n01_s[:, 1]
 
     # ---- pass A: full walk with min-visited accumulation ----------------
     nk = jnp.concatenate([n0_s, n1_s])            # (2S,) target pixel
     p_rep = jnp.concatenate([p_s, p_s])
     live2 = jnp.concatenate([live, live])
     absorbing = (nk == p_rep) | ~live2
-    q_slot = comp.slot_of[jnp.clip(nk, 0, n)]
-    q_ok = q_slot < S
-    q_slot = jnp.clip(q_slot, 0, S - 1)
+    # fused target-pixel table: slot, n0, n1 of the target in ONE row
+    # gather (n0[target] == n0_s[q_slot] whenever the slot is valid)
+    ftab = jnp.stack([comp.slot_of,
+                      jnp.append(n0, jnp.int32(n)),
+                      jnp.append(n1, jnp.int32(n))], axis=1)
+    rows_t = ftab[jnp.clip(nk, 0, n)]             # (2S,3)
+    q_ok = rows_t[:, 0] < S
+    q_slot = jnp.clip(rows_t[:, 0], 0, S - 1)
     absorbing = absorbing | ~q_ok                 # comp overflow: absorb
-    n0_at_q = n0_s[q_slot]
-    kprime = jnp.where(n0_at_q == p_rep, 1, 0).astype(jnp.int32)
+    kprime = jnp.where(rows_t[:, 1] == p_rep, 1, 0).astype(jnp.int32)
     self_state = jnp.arange(2 * S, dtype=jnp.int32)
     ptr = jnp.where(absorbing, self_state, kprime * S + q_slot)
     dist = jnp.where(absorbing, 0, 1).astype(jnp.int32)
     minv = p_rep.astype(jnp.int32)
     absorb0 = absorbing
+    # `term` = absorb0[ptr] and `end` = p_rep[ptr] ride as loop state
+    # (update rule: a doubling moves ptr to ptr[t], and the gathered row
+    # of t carries t's own term/end = absorb0[ptr[t]], p_rep[ptr[t]]),
+    # replacing two (2S,)-row epilogue gathers with one init gather.
+    rows0 = jnp.stack([absorb0.astype(jnp.int32), p_rep], axis=1)[ptr]
+    term = rows0[:, 0]
+    end = rows0[:, 1]
 
-    for _ in range(n_doublings):
-        packed = jnp.stack([dist, ptr, minv], axis=1)   # one row gather
-        rows = _doubling_rows(packed, ptr, axis_name)
+    # Phase 1: full-table doublings up to reach 2^k0.  On real frames the
+    # overwhelming majority of walks absorb within a few steps (noise
+    # strings are fragments); only long structure chains and cycles stay
+    # live, so the remaining doublings run over a compacted sub-list.
+    k0 = min(tail_switch_rounds, n_doublings) if tail_cap else n_doublings
+    for _ in range(k0):
+        packed = jnp.stack([dist, ptr, minv, term, end], axis=1)
+        rows = _doubling_rows(packed, ptr, axis_name)   # one row gather
         dist = dist + rows[:, 0]
         minv = jnp.minimum(minv, rows[:, 2])
+        term = rows[:, 3]
+        end = rows[:, 4]
         ptr = rows[:, 1]
 
-    absorbed = absorb0[ptr]
-    endpix = p_rep[ptr]
+    if k0 < n_doublings:
+        # Phase 2: a walk state is a fixpoint exactly when its pointer
+        # rests on an original absorbing state (absorbing rows never
+        # change, and the round that landed there already folded the
+        # terminal's dist/minv in).  Compact the non-fixpoint states and
+        # finish the doublings there: references to fixpoints read the
+        # frozen full table, references within the sub-list read the
+        # fresh sub state.  Bit-identical to the full walk: when the
+        # survivors exceed the sub-list cap (structure-rich scenes where
+        # most strings sit on long chains), a runtime lax.cond falls
+        # back to full-table rounds instead of truncating.
+        C2 = tail_cap
+        unconv = live2 & (term == 0)
+        n_unconv = jnp.sum(unconv.astype(jnp.int32))
+
+        def sub_branch(state):
+            dist, ptr, minv, term, end = state
+            sids = jnp.arange(2 * S, dtype=jnp.int32)
+            ranks = jnp.cumsum(unconv.astype(jnp.int32)) - 1
+            take = unconv & (ranks < C2)
+            sub_of = jnp.where(take, ranks, C2)   # elementwise, no scatter
+            sub_idx = jnp.full((C2 + 1,), 2 * S, jnp.int32).at[
+                jnp.where(take, ranks, C2)].min(sids, mode="drop")[:C2]
+            ssafe = jnp.clip(sub_idx, 0, 2 * S - 1)
+            sub_live = sub_idx < 2 * S
+            # frozen full table with the sub-rank map as a 6th column:
+            # one row gather serves (dist, ptr, minv, term, end, sub_of)
+            frozen = jnp.stack([dist, ptr, minv, term, end, sub_of],
+                               axis=1)
+            st2 = frozen[ssafe][:, :5]
+            for _ in range(n_doublings - k0):
+                rows_f = frozen[st2[:, 1]]
+                js = rows_f[:, 5]
+                in_sub = (js < C2)[:, None]
+                rows_s = st2[jnp.clip(js, 0, C2 - 1)]
+                rows = jnp.where(in_sub, rows_s, rows_f[:, :5])
+                st2 = jnp.stack(
+                    [st2[:, 0] + rows[:, 0], rows[:, 1],
+                     jnp.minimum(st2[:, 2], rows[:, 2]),
+                     rows[:, 3], rows[:, 4]], axis=1)
+            tgt2 = jnp.where(sub_live, sub_idx, 2 * S)
+            return (dist.at[tgt2].set(st2[:, 0], mode="drop"),
+                    ptr.at[tgt2].set(st2[:, 1], mode="drop"),
+                    minv.at[tgt2].set(st2[:, 2], mode="drop"),
+                    term.at[tgt2].set(st2[:, 3], mode="drop"),
+                    end.at[tgt2].set(st2[:, 4], mode="drop"))
+
+        def full_branch(state):
+            dist, ptr, minv, term, end = state
+            for _ in range(n_doublings - k0):
+                packed = jnp.stack([dist, ptr, minv, term, end], axis=1)
+                rows = _doubling_rows(packed, ptr, axis_name)
+                dist = dist + rows[:, 0]
+                minv = jnp.minimum(minv, rows[:, 2])
+                term = rows[:, 3]
+                end = rows[:, 4]
+                ptr = rows[:, 1]
+            return dist, ptr, minv, term, end
+
+        if axis_name is None:
+            dist, ptr, minv, term, end = lax.cond(
+                n_unconv <= C2, sub_branch, full_branch,
+                (dist, ptr, minv, term, end))
+        else:
+            # under shard_map the cond predicate must agree on every
+            # device — n_unconv is replicated-identical, but keep the
+            # sharded full path for simplicity there
+            dist, ptr, minv, term, end = full_branch(
+                (dist, ptr, minv, term, end))
+
+    absorbed = term != 0
+    endpix = end
     e0, d0, a0 = endpix[:S], dist[:S], absorbed[:S]
     e1, d1, a1 = endpix[S:], dist[S:], absorbed[S:]
     pick0 = e0 <= e1

@@ -580,8 +580,11 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
     p_s = jnp.clip(comp0.idx, 0, n - 1)
 
     cyc_cap = max(1024, n // cfg.cycle_sparse_factor)
+    tail_cap = (max(4096, 2 * S // cfg.walk_tail_factor)
+                if cfg.walk_tail_factor else 0)
     number_s, head_s, live, _ = arc_chain_sparse(
-        strings, comp0, cfg.number_doublings, cyc_cap, axis_name)
+        strings, comp0, cfg.number_doublings, cyc_cap, axis_name,
+        tail_switch_rounds=cfg.walk_tail_switch, tail_cap=tail_cap)
 
     # ---- arc grouping by chain head (replaces label_arcs + calcSize +
     # filterSize + relabel, all in slot space) ----------------------------

@@ -163,7 +163,7 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
                 s, 0, cfg.ccl_passes, cfg.ccl_jumps,
                 small_cap=max(4096, ih * iw // 8), big_cap=sp,
                 round_cap=cfg.weak_ccl_round_cap, pieces_ok=True,
-                bh=cfg.ccl_bh or None)
+                bh=cfg.ccl_bh or cfg.pieces_bh or None)
             # one strings-foreground compaction shared by the strength
             # scatter and both per-pixel strength filters
             from rectdetect_tpu.ops.compact import compact_mask
@@ -172,13 +172,22 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
             lbl = ccl.label_components(s, 0, cfg.ccl_passes,
                                        cfg.ccl_jumps,
                                        bh=cfg.ccl_bh or None)
-        st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale,
-                               comp=scomp)
-        weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak,
-                                       comp=scomp)
-        if cfg.strength_rescue_rounds:
-            weak_lbl = ccl.rescue_filtered(lbl, weak_lbl,
-                                           cfg.strength_rescue_rounds)
+        if scomp is not None and not cfg.strength_rescue_rounds:
+            # fused calcStrength + both filters: one slot gather instead
+            # of six (ccl.strength_filter_pair); the rescue extension
+            # needs the staged form (it edits weak before strong)
+            weak_lbl, strong_lbl_f, st = ccl.strength_filter_pair(
+                edge_thin, lbl, scomp, cfg.strength_weak,
+                cfg.strength_strong, cfg.strength_scale)
+        else:
+            st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale,
+                                   comp=scomp)
+            weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak,
+                                           comp=scomp)
+            strong_lbl_f = None
+            if cfg.strength_rescue_rounds:
+                weak_lbl = ccl.rescue_filtered(lbl, weak_lbl,
+                                               cfg.strength_rescue_rounds)
         weak_bin = (weak_lbl > 0).astype(jnp.int32)
 
     # edge-limited blur + quantize + despeckle (oclrect.c:286-303)
@@ -190,11 +199,14 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
                                              cfg.quantize_levels)
 
     # strong edges (oclrect.c:307-312)
-    strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong,
-                                     comp=scomp)
-    if cfg.strength_rescue_rounds:
-        strong_lbl = ccl.rescue_filtered(weak_lbl, strong_lbl,
-                                         cfg.strength_rescue_rounds)
+    if strong_lbl_f is not None:
+        strong_lbl = strong_lbl_f
+    else:
+        strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong,
+                                         comp=scomp)
+        if cfg.strength_rescue_rounds:
+            strong_lbl = ccl.rescue_filtered(weak_lbl, strong_lbl,
+                                             cfg.strength_rescue_rounds)
     strong_bin = (strong_lbl > 0).astype(jnp.int32)
 
     # merge masks + region CCL + cleanup (oclrect.c:314-336)
@@ -203,7 +215,7 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
         seg = regions.label_merge(despeck, mask, strong_lbl,
                                   cfg.labelmerge_passes,
                                   cfg.labelmerge_jumps,
-                                  bh=cfg.ccl_bh or None)
+                                  bh=cfg.ccl_bh or cfg.merge_bh or None)
         sizes = regions.label_sizes(seg)
         seg = regions.despeckle2(seg, sizes, cfg.despeckle2_thre)
 
@@ -220,7 +232,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
             bmark, -1, cfg.ccl_passes, cfg.ccl_jumps,
             small_cap=max(4096, ih * iw // 16), big_cap=spb,
             round_cap=cfg.boundary_ccl_round_cap,
-            force_xla=cfg.boundary_tpu_sparse, bh=cfg.ccl_bh or None)
+            force_xla=cfg.boundary_tpu_sparse,
+            bh=cfg.ccl_bh or cfg.boundary_bh or None)
     else:
         boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
                                         cfg.ccl_jumps,

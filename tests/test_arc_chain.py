@@ -125,3 +125,58 @@ def test_border_ring_runs():
     for g, s in segs.items():
         for (x, y) in ((s[0], s[1]), (s[2], s[3])):
             assert img[int(round(y)), int(round(x))] == 1
+
+
+def test_two_phase_walk_matches_full_walk():
+    """The phase-2 sub-list doublings (tail_cap > 0) are bit-identical
+    to running every doubling over the full table, including long
+    chains (> 2^switch px) and cycles, as long as the sub-list cap
+    holds all unconverged states."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.ops.chain import arc_chain_sparse
+    from rectdetect_tpu.ops.compact import compact_mask
+
+    h, w = 96, 128
+    img = np.zeros((h, w), np.int32)
+    img[10, 2:120] = 1                    # long chain (118 px > 2^6)
+    img[30:60, 40] = 1                    # vertical chain
+    # a closed ring (cycle), 8-connected
+    img[70:80, 60] = 1
+    img[70:80, 70] = 1
+    img[70, 60:71] = 1
+    img[79, 60:71] = 1
+    r = np.random.default_rng(11)
+    img |= (r.random((h, w)) < 0.08).astype(np.int32)   # noise fragments
+    strings = jnp.asarray(img)
+    comp = compact_mask((strings != 0).reshape(-1), h * w // 2)
+
+    full = arc_chain_sparse(strings, comp, 12, 1024, tail_cap=0)
+    two = arc_chain_sparse(strings, comp, 12, 1024,
+                           tail_switch_rounds=4, tail_cap=4096)
+    for a, b, name in zip(full, two, ("number", "head", "live", "cyc")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_two_phase_walk_overflow_is_deterministic():
+    """Sub-list overflow freezes the overflowed states at the switch
+    reach — deterministically (two runs agree), and converged states
+    are unaffected."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.ops.chain import arc_chain_sparse
+    from rectdetect_tpu.ops.compact import compact_mask
+
+    h, w = 64, 128
+    img = np.zeros((h, w), np.int32)
+    for y in range(4, 60, 4):
+        img[y, 2:120] = 1                 # many long chains -> overflow
+    strings = jnp.asarray(img)
+    comp = compact_mask((strings != 0).reshape(-1), h * w // 2)
+    a = arc_chain_sparse(strings, comp, 12, 1024,
+                         tail_switch_rounds=3, tail_cap=64)
+    b = arc_chain_sparse(strings, comp, 12, 1024,
+                         tail_switch_rounds=3, tail_cap=64)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -167,3 +167,29 @@ def test_label_components_adaptive_both_branches():
             jnp.asarray(img), 0, 8, 2, small_cap=256,
             big_cap=img.size))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_strength_filter_pair_matches_staged():
+    """Fused calc+both-filters == the staged composition, including the
+    strong-from-weak chaining (thre_strong >= thre_weak makes them
+    interchangeable) and border-keep semantics."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.ops import ccl
+    from rectdetect_tpu.ops.compact import compact_mask
+
+    r = np.random.default_rng(9)
+    h, w = 48, 64
+    strings = (r.random((h, w)) < 0.3).astype(np.int32)
+    edge = (r.random((h, w)) * 0.6).astype(np.float32) * strings
+    lbl = ccl.label_components(jnp.asarray(strings), 0, 8, 4)
+    comp = compact_mask((jnp.asarray(strings) != 0).reshape(-1),
+                        h * w // 2)
+    st = ccl.calc_strength(jnp.asarray(edge), lbl, 10000.0, comp=comp)
+    weak = ccl.filter_strength(lbl, st, 500, comp=comp)
+    strong = ccl.filter_strength(weak, st, 2500, comp=comp)
+    fw, fs, fst = ccl.strength_filter_pair(jnp.asarray(edge), lbl, comp,
+                                           500, 2500)
+    np.testing.assert_array_equal(np.asarray(fw), np.asarray(weak))
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(strong))
+    np.testing.assert_array_equal(np.asarray(fst), np.asarray(st))

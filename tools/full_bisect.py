@@ -36,7 +36,6 @@ def main():
     sys.path.insert(0, ".")
     from rectdetect_tpu.runtime.cache import enable_persistent_cache
     enable_persistent_cache()
-    from rectdetect_tpu.config import DEFAULT_CONFIG as cfg
     from rectdetect_tpu.ops import ccl, morphology, polyline, regions
     from rectdetect_tpu.pipeline.frontend import edge_frontend
     from rectdetect_tpu.pipeline import rect as prect
@@ -48,6 +47,9 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     upto = int(sys.argv[3]) if len(sys.argv) > 3 else 99
     h, w = (int(v) for v in res.split("x"))
+    # measure what the bench measures: the calibrated plan applied
+    from rectdetect_tpu.runtime.calibrate import load_calibrated_config
+    cfg = load_calibrated_config(h, w, verbose=True)
     tan = math.tan(math.radians(72) / 2)
     print(f"platform={jax.devices()[0].platform} {h}x{w} N={n}", flush=True)
 
@@ -67,9 +69,13 @@ def main():
         lbl = ccl.label_components_adaptive(
             s, 0, cfg.ccl_passes, cfg.ccl_jumps,
             small_cap=max(4096, h * w // 8), big_cap=sp,
-            round_cap=cfg.weak_ccl_round_cap, pieces_ok=True)
-        st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
-        weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak)
+            round_cap=cfg.weak_ccl_round_cap, pieces_ok=True,
+            bh=cfg.ccl_bh or cfg.pieces_bh or None)
+        from rectdetect_tpu.ops.compact import compact_mask
+        scomp = compact_mask((s != 0).reshape(-1), sp) if sp else None
+        weak_lbl, strong_lbl, st = ccl.strength_filter_pair(
+            fe.edge_thin, lbl, scomp, cfg.strength_weak,
+            cfg.strength_strong, cfg.strength_scale)
         weak_bin = (weak_lbl > 0).astype(jnp.int32)
         if stop == 1:
             return weak_lbl.sum()
@@ -80,12 +86,12 @@ def main():
                                              cfg.quantize_levels)
         if stop == 2:
             return despeck.sum()
-        strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)
         strong_bin = (strong_lbl > 0).astype(jnp.int32)
         mask = regions.junction_merge_mask(strong_lbl)
         seg = regions.label_merge(despeck, mask, strong_lbl,
                                   cfg.labelmerge_passes,
-                                  cfg.labelmerge_jumps)
+                                  cfg.labelmerge_jumps,
+                                  bh=cfg.ccl_bh or cfg.merge_bh or None)
         sizes = regions.label_sizes(seg)
         seg = regions.despeckle2(seg, sizes, cfg.despeckle2_thre)
         if stop == 3:
@@ -94,7 +100,9 @@ def main():
         boundary = ccl.label_components_adaptive(
             bmark, -1, cfg.ccl_passes, cfg.ccl_jumps,
             small_cap=max(4096, h * w // 16), big_cap=spb,
-            round_cap=cfg.boundary_ccl_round_cap)
+            round_cap=cfg.boundary_ccl_round_cap,
+            force_xla=cfg.boundary_tpu_sparse,
+            bh=cfg.ccl_bh or cfg.boundary_bh or None)
         if stop == 4:
             return boundary.sum()
         cap = cfg.ls_cap_for(w, h)

@@ -76,8 +76,11 @@ def main():
         S = comp0.cap
         p_s = jnp.clip(comp0.idx, 0, nimg - 1)
         cyc_cap = max(1024, nimg // cfg.cycle_sparse_factor)
+        tail_cap = (max(4096, 2 * S // cfg.walk_tail_factor)
+                    if cfg.walk_tail_factor else 0)
         number_s, head_s, live, _ = arc_chain_sparse(
-            strings, comp0, cfg.number_doublings, cyc_cap)
+            strings, comp0, cfg.number_doublings, cyc_cap,
+            tail_switch_rounds=cfg.walk_tail_switch, tail_cap=tail_cap)
         if stop == 1:
             return number_s.sum() + head_s.sum()
         fgnum = live & (number_s > 0)
