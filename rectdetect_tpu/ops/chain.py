@@ -312,6 +312,10 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
     ptr = jnp.where(absorbing, self_state, kprime * S + q_slot)
     dist = jnp.where(absorbing, 0, 1).astype(jnp.int32)
     minv = p_rep.astype(jnp.int32)
+    # second-smallest visited pixel (disjoint-window doubling merge):
+    # needed to exclude the head from the arc id (labelpl arcs drop the
+    # head pixel, so the arc id is min over chain MINUS head).
+    minv2 = jnp.full_like(minv, n)
     absorb0 = absorbing
     # `term` = absorb0[ptr] and `end` = p_rep[ptr] ride as loop state
     # (update rule: a doubling moves ptr to ptr[t], and the gathered row
@@ -325,12 +329,24 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
     # overwhelming majority of walks absorb within a few steps (noise
     # strings are fragments); only long structure chains and cycles stay
     # live, so the remaining doublings run over a compacted sub-list.
+    def _merge2(m1, m2, b1, b2):
+        """(min, 2nd-min) of the union of two pixel windows.  Windows
+        are disjoint during normal doubling, but once a walk saturates
+        at a terminal it keeps re-merging a SUBSET window; subset
+        elements are already accounted for, and the only corrupting
+        case is b's min coinciding with a's min (the max(m1,b1) term
+        would duplicate it into the 2nd-min slot) — guard it."""
+        dup = m1 == b1
+        cand = jnp.where(dup, n, jnp.maximum(m1, b1))
+        return (jnp.minimum(m1, b1),
+                jnp.minimum(jnp.minimum(m2, b2), cand))
+
     k0 = min(tail_switch_rounds, n_doublings) if tail_cap else n_doublings
     for _ in range(k0):
-        packed = jnp.stack([dist, ptr, minv, term, end], axis=1)
+        packed = jnp.stack([dist, ptr, minv, term, end, minv2], axis=1)
         rows = _doubling_rows(packed, ptr, axis_name)   # one row gather
         dist = dist + rows[:, 0]
-        minv = jnp.minimum(minv, rows[:, 2])
+        minv, minv2 = _merge2(minv, minv2, rows[:, 2], rows[:, 5])
         term = rows[:, 3]
         end = rows[:, 4]
         ptr = rows[:, 1]
@@ -351,7 +367,7 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
         n_unconv = jnp.sum(unconv.astype(jnp.int32))
 
         def sub_branch(state):
-            dist, ptr, minv, term, end = state
+            dist, ptr, minv, term, end, minv2 = state
             sids = jnp.arange(2 * S, dtype=jnp.int32)
             ranks = jnp.cumsum(unconv.astype(jnp.int32)) - 1
             take = unconv & (ranks < C2)
@@ -360,50 +376,54 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
                 jnp.where(take, ranks, C2)].min(sids, mode="drop")[:C2]
             ssafe = jnp.clip(sub_idx, 0, 2 * S - 1)
             sub_live = sub_idx < 2 * S
-            # frozen full table with the sub-rank map as a 6th column:
-            # one row gather serves (dist, ptr, minv, term, end, sub_of)
-            frozen = jnp.stack([dist, ptr, minv, term, end, sub_of],
-                               axis=1)
-            st2 = frozen[ssafe][:, :5]
+            # frozen full table with the sub-rank map as a 7th column:
+            # one row gather serves all six state fields + sub_of
+            frozen = jnp.stack([dist, ptr, minv, term, end, minv2,
+                                sub_of], axis=1)
+            st2 = frozen[ssafe][:, :6]
             for _ in range(n_doublings - k0):
                 rows_f = frozen[st2[:, 1]]
-                js = rows_f[:, 5]
+                js = rows_f[:, 6]
                 in_sub = (js < C2)[:, None]
                 rows_s = st2[jnp.clip(js, 0, C2 - 1)]
-                rows = jnp.where(in_sub, rows_s, rows_f[:, :5])
+                rows = jnp.where(in_sub, rows_s, rows_f[:, :6])
+                m1, m2 = _merge2(st2[:, 2], st2[:, 5],
+                                 rows[:, 2], rows[:, 5])
                 st2 = jnp.stack(
-                    [st2[:, 0] + rows[:, 0], rows[:, 1],
-                     jnp.minimum(st2[:, 2], rows[:, 2]),
-                     rows[:, 3], rows[:, 4]], axis=1)
+                    [st2[:, 0] + rows[:, 0], rows[:, 1], m1,
+                     rows[:, 3], rows[:, 4], m2], axis=1)
             tgt2 = jnp.where(sub_live, sub_idx, 2 * S)
             return (dist.at[tgt2].set(st2[:, 0], mode="drop"),
                     ptr.at[tgt2].set(st2[:, 1], mode="drop"),
                     minv.at[tgt2].set(st2[:, 2], mode="drop"),
                     term.at[tgt2].set(st2[:, 3], mode="drop"),
-                    end.at[tgt2].set(st2[:, 4], mode="drop"))
+                    end.at[tgt2].set(st2[:, 4], mode="drop"),
+                    minv2.at[tgt2].set(st2[:, 5], mode="drop"))
 
         def full_branch(state):
-            dist, ptr, minv, term, end = state
+            dist, ptr, minv, term, end, minv2 = state
             for _ in range(n_doublings - k0):
-                packed = jnp.stack([dist, ptr, minv, term, end], axis=1)
+                packed = jnp.stack([dist, ptr, minv, term, end, minv2],
+                                   axis=1)
                 rows = _doubling_rows(packed, ptr, axis_name)
                 dist = dist + rows[:, 0]
-                minv = jnp.minimum(minv, rows[:, 2])
+                minv, minv2 = _merge2(minv, minv2, rows[:, 2],
+                                      rows[:, 5])
                 term = rows[:, 3]
                 end = rows[:, 4]
                 ptr = rows[:, 1]
-            return dist, ptr, minv, term, end
+            return dist, ptr, minv, term, end, minv2
 
         if axis_name is None:
-            dist, ptr, minv, term, end = lax.cond(
+            dist, ptr, minv, term, end, minv2 = lax.cond(
                 n_unconv <= C2, sub_branch, full_branch,
-                (dist, ptr, minv, term, end))
+                (dist, ptr, minv, term, end, minv2))
         else:
             # under shard_map the cond predicate must agree on every
             # device — n_unconv is replicated-identical, but keep the
             # sharded full path for simplicity there
-            dist, ptr, minv, term, end = full_branch(
-                (dist, ptr, minv, term, end))
+            dist, ptr, minv, term, end, minv2 = full_branch(
+                (dist, ptr, minv, term, end, minv2))
 
     absorbed = term != 0
     endpix = end
@@ -422,6 +442,15 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
 
     number_s = jnp.where(live & okdir & ~cyc, num_path, 0).astype(jnp.int32)
     head_s = head_path
+    # per-slot chain statistics, ELEMENTWISE from the walk (replacing
+    # the per-head scatter histograms in the polyline tail): chain pixel
+    # count excluding the head = d0 + d1, and the labelpl arc id = the
+    # min flat index over the chain = min visited in both directions.
+    # Valid where both directions absorbed; partially-numbered slots of
+    # over-reach chains report their true length (>= the partial count
+    # the old histogram saw — same keep decision above size_thre).
+    chainlen_s = jnp.where(live & a0 & a1, d0 + d1, 0).astype(jnp.int32)
+    arcmin_s = jnp.minimum(minv[:S], minv[S:])
 
     # ---- pass B: re-number the cut cycles over a tiny sub-list ----------
     C = cyc_cap
@@ -474,11 +503,37 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
     okb = jnp.where(pick0b, a0b, a1b)
     headb = jnp.minimum(e0b, e1b)
     numb = jnp.where(sub_live & okb, numb, 0).astype(jnp.int32)
+    # Cut-cycle arc statistics use the OLD grouped semantics over the
+    # (tiny) sub-list — residual cycles (a root whose removal leaves a
+    # diagonal reconnection) produce partial walks where the elementwise
+    # d0+d1 double-counts, but the per-head group count/min matches the
+    # dense label_arcs path exactly.  All scatters are at cyc_cap scale.
+    hb_slot = comp.slot_of[jnp.clip(headb, 0, n)]
+    hb_sub = sub_of[jnp.clip(hb_slot, 0, S)]
+    grp_ok = sub_live & (numb > 0) & (hb_sub < C)
+    grp = jnp.where(grp_ok, hb_sub, C)
+    sizes_c = jnp.zeros((C + 1,), jnp.int32).at[grp].add(
+        jnp.where(grp_ok, 1, 0), mode="drop")
+    amin_c = jnp.full((C + 1,), n, jnp.int32).at[grp].min(
+        p2, mode="drop")
+    gsafe = jnp.clip(hb_sub, 0, C - 1)
+    lenb = jnp.where(grp_ok, sizes_c[gsafe], 0).astype(jnp.int32)
+    minb = jnp.where(grp_ok, amin_c[gsafe], n).astype(jnp.int32)
 
     tgt = jnp.where(sub_live, sub_idx, S)         # index S drops (OOB)
     number_s = number_s.at[tgt].set(numb, mode="drop")
     head_s = head_s.at[tgt].set(headb, mode="drop")
-    return number_s, head_s, live, cyc
+    chainlen_s = chainlen_s.at[tgt].set(lenb, mode="drop")
+    arcmin_s = arcmin_s.at[tgt].set(minb, mode="drop")
+    # non-cycle slots: exclude the head pixel from the arc id (labelpl
+    # drops number==0): if the chain min IS the head, take the 2nd-min
+    # of the head-side direction merged with the other direction's min
+    mh1 = jnp.where(pick0, minv[:S], minv[S:])
+    mh2 = jnp.where(pick0, minv2[:S], minv2[S:])
+    mt1 = jnp.where(pick0, minv[S:], minv[:S])
+    arc_nohead = jnp.minimum(jnp.where(mh1 == head_path, mh2, mh1), mt1)
+    arcmin_s = jnp.where(cyc, arcmin_s, arc_nohead)
+    return number_s, head_s, live, cyc, chainlen_s, arcmin_s
 
 
 def count_ends(junction, label, comp=None):

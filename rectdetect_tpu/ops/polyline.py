@@ -582,43 +582,39 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
     cyc_cap = max(1024, n // cfg.cycle_sparse_factor)
     tail_cap = (max(4096, 2 * S // cfg.walk_tail_factor)
                 if cfg.walk_tail_factor else 0)
-    number_s, head_s, live, _ = arc_chain_sparse(
+    number_s, _, live, _, chainlen_s, arcmin_s = arc_chain_sparse(
         strings, comp0, cfg.number_doublings, cyc_cap, axis_name,
         tail_switch_rounds=cfg.walk_tail_switch, tail_cap=tail_cap)
 
-    # ---- arc grouping by chain head (replaces label_arcs + calcSize +
-    # filterSize + relabel, all in slot space) ----------------------------
+    # ---- arc grouping (replaces label_arcs + calcSize + filterSize +
+    # relabel).  The walk reports the arc pixel count (chain length
+    # minus the head) and the labelpl arc id (min flat index over the
+    # arc) ELEMENTWISE per slot, so the per-head scatter histograms of
+    # the old formulation disappear entirely: the size filter and the
+    # root test are per-slot compares, and the dense relabel publishes
+    # ranks at root slots read back through one gather.
     fgnum = live & (number_s > 0)
-    head_slot = comp0.slot_of[jnp.clip(head_s, 0, n)]
-    hs_ok = head_slot < S                 # head beyond comp cap: drop arc
-    grp = jnp.where(fgnum & hs_ok, head_slot, S)
-    hsafe = jnp.clip(head_slot, 0, S - 1)
-
-    # labelpl arc id: min flat index over the arc's pixels.
-    arcid_min = jnp.full((S + 1,), n, jnp.int32).at[grp].min(
-        p_s, mode="drop")
-    # arc size: pixel count (the head, number==0, is excluded like
-    # labelpl_preprocess dropping it).
-    sizes_h = jnp.zeros((S + 1,), jnp.int32).at[grp].add(
-        jnp.where(grp < S, 1, 0), mode="drop")
-
-    keep = fgnum & hs_ok & (sizes_h[hsafe] > size_thre)
-    is_root = keep & (p_s == arcid_min[hsafe])
+    keep = fgnum & (chainlen_s > size_thre)
+    root_slot = comp0.slot_of[jnp.clip(arcmin_s, 0, n)]
+    rs_ok = root_slot < S               # root beyond comp cap: drop arc
+    keep = keep & rs_ok
+    is_root = keep & (p_s == arcmin_s)
     rank = jnp.cumsum(is_root.astype(jnp.int32))
-    # dense id of each arc, published at its head slot
-    table = jnp.zeros((S + 1,), jnp.int32).at[
-        jnp.where(is_root, head_slot, S)].max(rank, mode="drop")
-    dense_s = jnp.where(keep, table[hsafe], 0).astype(jnp.int32)
+    dense_s = jnp.where(
+        keep, rank[jnp.clip(root_slot, 0, S - 1)], 0).astype(jnp.int32)
 
-    # materialize the dense/number images mkpl reads through `comp`
-    tgt = jnp.where(live, p_s, n)
-    dense = jnp.zeros((n + 1,), jnp.int32).at[tgt].set(
-        dense_s, mode="drop")[:n].reshape(h, w)
-    number = jnp.zeros((n + 1,), jnp.int32).at[tgt].set(
-        number_s, mode="drop")[:n].reshape(h, w)
-
+    # materialize the dense/number images mkpl reads through `comp`:
+    # only arc pixels are ever read, so scatter at the arc slot count
     sp_arc = max(4096, n // cfg.arc_sparse_factor)
     comp = compact_subset(comp0, dense_s > 0, sp_arc)
+    slot_a = comp0.slot_of[jnp.clip(comp.idx, 0, n)]
+    sa = jnp.clip(slot_a, 0, S - 1)
+    tgt_a = jnp.where(comp.valid(), jnp.clip(comp.idx, 0, n - 1), n)
+    dense = jnp.zeros((n + 1,), jnp.int32).at[tgt_a].set(
+        dense_s[sa], mode="drop")[:n].reshape(h, w)
+    number = jnp.zeros((n + 1,), jnp.int32).at[tgt_a].set(
+        number_s[sa], mode="drop")[:n].reshape(h, w)
+
     arena = mkpl_init(dense, number, cap, comp)
     arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
                                  cfg.mkpl_iters, comp, axis_name)

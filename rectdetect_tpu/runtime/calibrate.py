@@ -66,8 +66,8 @@ def _densities(bgr_frames, cfg: PipelineConfig):
         strings_d = jnp.mean((strings != 0).astype(jnp.float32))
         hw = strings.shape[0] * strings.shape[1]
         comp = compact_mask((strings != 0).reshape(-1), max(4096, hw // 2))
-        _, _, _, cyc = arc_chain_sparse(strings, comp,
-                                        cfg.number_doublings, 4096)
+        _, _, _, cyc, _, _ = arc_chain_sparse(strings, comp,
+                                              cfg.number_doublings, 4096)
         cyc_d = jnp.sum(cyc.astype(jnp.float32)) / hw
         return (edge_d, rect_strings_d, strings_d, boundary_d, arcs_d,
                 n_arcs, cyc_d)

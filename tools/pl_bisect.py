@@ -78,7 +78,7 @@ def main():
         cyc_cap = max(1024, nimg // cfg.cycle_sparse_factor)
         tail_cap = (max(4096, 2 * S // cfg.walk_tail_factor)
                     if cfg.walk_tail_factor else 0)
-        number_s, head_s, live, _ = arc_chain_sparse(
+        number_s, head_s, live, _, chainlen_s, arcmin_s = arc_chain_sparse(
             strings, comp0, cfg.number_doublings, cyc_cap,
             tail_switch_rounds=cfg.walk_tail_switch, tail_cap=tail_cap)
         if stop == 1:
