@@ -259,15 +259,19 @@ def srgb2plab_exact(bgr):
 # Only the r=2 coefficient row is transcribed (the pipeline always runs
 # r=2, oclrect.c:248-250); iircoef[32][15] lives at oclimgutil.cl:900-1125.
 
+# NOTE: the kernel indexes `iircoef[r]` ZERO-based while the table rows
+# carry 1-based `// k` comments, so r=2 selects the row labeled "// 3"
+# (sigma ~ 1.0), not "// 2" — the device's effective sigma for the
+# pipeline's r=2 is (r+1)/3.  IIRCOEF[r] here is table row INDEX r.
 IIRCOEF = {
-    1: np.array([1.1968268412, 0.0066482081, -0.0000369159, 0.0000002050,
-                 -0.0000000011, 0.0000000000, -0.0000000000, 0.0000000000,
-                 0.0055541344, -0.0000308409, 0.0000001713, -0.0000000010,
-                 0.0000000000, -0.0000000000, -0.0000000000], np.float32),
-    2: np.array([0.5984134206, 0.1038383077, -0.0121238572, 0.0013108988,
+    1: np.array([0.5984134206, 0.1038383077, -0.0121238572, 0.0013108988,
                  -0.0001376963, 0.0000144192, -0.0000023625, -0.0000000267,
                  0.1511297752, -0.0176956557, 0.0019154795, -0.0002012217,
                  0.0000206591, -0.0000006002, 0.0000000180], np.float32),
+    2: np.array([0.3989422804, 0.1414542400, -0.0030406818, -0.0041116157,
+                 0.0006696623, 0.0000498707, -0.0000449761, -0.0000051528,
+                 0.2519574622, -0.0098627835, -0.0067013653, 0.0012572396,
+                 0.0000481394, -0.0000097781, 0.0000006462], np.float32),
 }
 
 

@@ -1,18 +1,21 @@
 """Gaussian blur.
 
-The reference implements a recursive (IIR) approximation of a Gaussian with
-sigma = r/3 per axis (iirblur_*, oclimgutil.cl:542-637; the coefficient table
-iircoef[r][0] equals the Gaussian peak 1/(sigma*sqrt(2*pi)) with sigma = r/3,
-e.g. r=3 -> 0.3989422804 = 1/sqrt(2*pi)).  An IIR scan is the right call on a
-GPU with one thread per row; on TPU a sequential per-row recurrence is the
-*worst* shape, so we keep the math (a normalized Gaussian with sigma = r/3,
-reflect-101 borders) and change the algorithm:
+The reference implements a recursive (IIR) approximation of a Gaussian
+(iirblur_*, oclimgutil.cl:542-637).  Note the kernel indexes iircoef[r]
+ZERO-based against the table's 1-based row comments, so the pipeline's
+r=2 (oclrect.c:248-250) runs the row whose peak is 1/sqrt(2*pi) — an
+effective sigma of ~1.0, i.e. (r+1)/3.  An IIR scan is the right call
+on a GPU with one thread per row; on TPU a sequential per-row
+recurrence is the *worst* shape, so:
 
-  * small r (the pipeline always uses r=2, oclrect.c:248-250): separable FIR
-    with taps sampled from the continuous Gaussian out to 4 sigma.  Seven
-    static shifts per axis, fully fused by XLA, zero sequential deps.
-  * large r: same FIR with a wider (static) radius — still cheaper on TPU
-    than a scan because every tap is a vectorized shifted add.
+  * for the radii the pipeline uses, a separable FIR whose taps ARE the
+    recurrence's exact impulse response (it decays below 2e-9 past +-6
+    samples) — 13 static shifts per axis, fully fused by XLA, zero
+    sequential deps, f32-noise parity with the reference
+    (tests/test_edge_ops.py vs golden.imgutil.iirblur);
+  * for other radii, a sampled Gaussian with sigma = r/3 out to
+    4 sigma — still cheaper on TPU than a scan because every tap is a
+    vectorized shifted add.
 
 An associative-scan IIR variant is provided for completeness/benchmarks; it
 implements the classic forward+backward 3-tap recursive Gaussian via
@@ -32,9 +35,67 @@ import numpy as np
 from rectdetect_tpu.ops.shifts import pad2d, shifted
 
 
+# iircoef rows of the radii the pipeline uses (oclimgutil.cl:900-921):
+# 8 feed-forward + 7 feedback float32 taps of the reference's recursive
+# Gaussian.  Only used to DERIVE the exact FIR below.  The kernel
+# indexes `iircoef[r]` ZERO-based against 1-based `// k` row comments,
+# so r=2 runs the row labeled "// 3" (sigma ~ (r+1)/3) — keys here are
+# the r values the kernels receive, values are table row INDEX r.
+_IIRCOEF = {
+    1: (0.5984134206, 0.1038383077, -0.0121238572, 0.0013108988,
+        -0.0001376963, 0.0000144192, -0.0000023625, -0.0000000267,
+        0.1511297752, -0.0176956557, 0.0019154795, -0.0002012217,
+        0.0000206591, -0.0000006002, 0.0000000180),
+    2: (0.3989422804, 0.1414542400, -0.0030406818, -0.0041116157,
+        0.0006696623, 0.0000498707, -0.0000449761, -0.0000051528,
+        0.2519574622, -0.0098627835, -0.0067013653, 0.0012572396,
+        0.0000481394, -0.0000097781, 0.0000006462),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _ref_iir_taps(r: int) -> tuple[float, ...]:
+    """Exact 1D impulse response of the reference's iirblur axis pass
+    (fwd scan + bwd scan - c0*in, oclimgutil.cl:542-589), as symmetric
+    FIR taps.  The r=2 response decays below 2.1e-10 past +-6 samples,
+    so a radius-6 FIR reproduces the recurrence to f32 noise — measured
+    against the loop-level golden.imgutil.iirblur in
+    tests/test_edge_ops.py."""
+    coef = np.asarray(_IIRCOEF[r], np.float32)
+    n, c = 129, 64
+    row = np.zeros(n, np.float32)
+    row[c] = 1.0
+
+    def scan(xs):
+        iv = np.zeros(8, np.float32)
+        tv = np.zeros(7, np.float32)
+        out = np.zeros(n, np.float32)
+        for x in xs:
+            iv[1:] = iv[:-1]
+            iv[0] = row[min(max(x, -x), 2 * n - 2 - x)]
+            d = np.float32(coef[0] * iv[0])
+            d += np.float32((coef[1:8] * iv[1:]).sum())
+            d += np.float32((coef[8:] * tv).sum())
+            out[x % n] = d
+            tv[1:] = tv[:-1]
+            tv[0] = d
+        return out
+
+    t0 = scan(range(-(r + 9), n))
+    t1 = scan(range(n + r + 9, -1, -1))
+    h = (t0 + t1 - row * coef[0]).astype(np.float64)
+    rad = 6 if r <= 2 else 4 * r
+    return tuple(float(v) for v in h[c - rad:c + rad + 1])
+
+
 @functools.lru_cache(maxsize=None)
 def gaussian_taps(r: int) -> tuple[float, ...]:
-    """Symmetric FIR taps for sigma = r/3, radius = max(2, ceil(4*sigma))."""
+    """Symmetric FIR taps: the reference recurrence's EXACT impulse
+    response for the radii it tabulates here (r=1, 2 — the pipeline
+    always runs r=2, oclrect.c:248-250); a sampled Gaussian with
+    sigma = r/3 out to 4 sigma otherwise."""
+    if r in _IIRCOEF:
+        return _ref_iir_taps(r)
     sigma = r / 3.0
     rad = max(2, int(math.ceil(4.0 * sigma)))
     k = np.arange(-rad, rad + 1, dtype=np.float64)
@@ -44,10 +105,12 @@ def gaussian_taps(r: int) -> tuple[float, ...]:
 
 
 def gaussian_blur(img, r: int):
-    """Separable Gaussian blur with sigma = r/3, reflect-101 borders.
+    """Separable blur, reflect-101 borders.
 
-    img: (..., H, W) float32.  Matches the effective response of the
-    reference's iirblur_f_f chain (oclimgutil.c:243-273) to ~1e-3.
+    img: (..., H, W) float32.  For r in the tabulated set the taps are
+    the reference iirblur chain's exact impulse response (matches
+    oclimgutil.c:243-273 to f32 noise, ~2e-7); otherwise a sampled
+    Gaussian with sigma = r/3.
     """
     taps = gaussian_taps(r)
     rad = len(taps) // 2

@@ -62,11 +62,28 @@ def _round_cap(bh: int, w: int) -> int:
 
 
 def _pick_bh(h: int, w: int) -> int:
-    # callers may also pass an explicit bh (e.g. the calibrated plan's
-    # ccl_bh) — every block entry point re-asserts it below
     bh = max(8, min(h, (_BLOCK_ELEMS // max(w, 1)) // 8 * 8))
     vmem.assert_fits("ccl_flood", bh * w)
     return bh
+
+
+def _clamp_bh(bh: int | None, h: int, w: int) -> int | None:
+    """Clamp a caller-supplied block height (per-instance config or the
+    calibrated plan's ccl_bh, tuned at some reference width) to the
+    largest legal block at THIS width — the trace-time assert in
+    _run_blocks remains the backstop.
+
+    At w=3840 blocks taller than 96 rows FAULT the TPU worker at
+    runtime (Mosaic kernel fault, reproduced on the links kernel with
+    bh=112 while bh<=96 runs fine and 224x1920 — the same element
+    count — also runs fine); cap very wide frames at the measured-safe
+    height."""
+    if bh is None:
+        return None
+    cap = (vmem.budget_elems("ccl_flood") // max(w, 1)) // 8 * 8
+    if w >= 2048:
+        cap = min(cap, 96)
+    return max(8, min(bh, cap, max(8, (h + 7) // 8 * 8)))
 
 
 def _pred(mode: str, a, b):
@@ -315,6 +332,8 @@ def label_blocked(pix, bgc: int, mode: str = "equal",
     pix = pix.astype(jnp.int32)
     if bh is None:
         bh = _pick_bh(h, w)
+    else:
+        bh = _clamp_bh(bh, h, w)
     interpret = jax.default_backend() not in ("tpu",)
     lbl = _run_blocks(pix, None, bgc=bgc, mode=mode, bh=bh,
                       interpret=interpret,
@@ -352,6 +371,8 @@ def _label_sparse(pix, bgc: int, mode: str, comp, bh, round_cap,
     pix32 = pix.astype(jnp.int32)
     if bh is None:
         bh = _pick_bh(h, w)
+    else:
+        bh = _clamp_bh(bh, h, w)
     interpret = jax.default_backend() not in ("tpu",)
     lbl = _run_blocks(pix32, None, bgc=bgc, mode=mode, bh=bh,
                       interpret=interpret,
@@ -414,6 +435,8 @@ def label_components_pieces(pix, bgc: int, round_cap: int,
     h, w = pix.shape
     if bh is None:
         bh = _pick_bh(h, w)
+    else:
+        bh = _clamp_bh(bh, h, w)
     interpret = jax.default_backend() not in ("tpu",)
     lbl = _run_blocks(pix.astype(jnp.int32), None, bgc=bgc, mode="equal",
                       bh=bh, interpret=interpret,
@@ -596,6 +619,8 @@ def label_links_blocked(lh, lv, bh: int | None = None):
     lv = lv.at[h - 1, :].set(0)
     if bh is None:
         bh = _pick_bh(h, w)
+    else:
+        bh = _clamp_bh(bh, h, w)
     interpret = jax.default_backend() not in ("tpu",)
     lbl = _run_links_blocks(lh, lv, None, bh=bh, interpret=interpret)
     if h <= bh:

@@ -13,16 +13,16 @@ def _labf(scene):
 
 
 def test_gaussian_taps_normalized():
-    for r in (1, 2, 3, 8, 32):
-        taps = B.gaussian_taps(r)
-        assert abs(sum(taps) - 1.0) < 1e-12
-    # for r >= 2 the normalized peak approximates the reference's
-    # coef[0] = 1/(sigma*sqrt(2pi)) with sigma = r/3 (at r=1 the discrete
-    # sampling is too coarse for the continuous peak to survive)
-    for r in (2, 3, 8):
-        sigma = r / 3.0
-        assert abs(max(B.gaussian_taps(r)) -
-                   1.0 / (sigma * np.sqrt(2 * np.pi))) < 0.02
+    # tabulated radii reproduce the reference recurrence, including its
+    # own slight gain error (r=1 sums to 1.00031 on the device too)
+    for r in (1, 2):
+        assert abs(sum(B.gaussian_taps(r)) - 1.0) < 5e-4
+    # sampled radii are exactly normalized
+    for r in (3, 8, 32):
+        assert abs(sum(B.gaussian_taps(r)) - 1.0) < 1e-12
+    # the r=2 peak is the reference's iircoef[2][0] = 1/sqrt(2*pi)
+    # (the kernel's zero-based indexing selects the sigma~1 row)
+    assert abs(max(B.gaussian_taps(2)) - 0.3989422804) < 1e-7
 
 
 def test_gaussian_blur_constant_preserved():
@@ -121,12 +121,13 @@ def test_fir_blur_matches_reference_iir_recurrence():
     img = rng.random((60, 76)).astype(np.float32)
     ours = np.asarray(blur.gaussian_blur(jnp.asarray(img), 2))
     ref = G.iirblur(img, 2)
-    assert np.abs(ours - ref).max() <= 1.5e-3
+    # taps are now the recurrence's exact impulse response: f32 noise
+    assert np.abs(ours - ref).max() <= 2e-6
 
     # impulse response: same mass and peak within the same bound
     imp = np.zeros((41, 41), np.float32)
     imp[20, 20] = 1.0
     oi = np.asarray(blur.gaussian_blur(jnp.asarray(imp), 2))
     ri = G.iirblur(imp, 2)
-    assert abs(oi.sum() - ri.sum()) <= 2e-3
-    assert np.abs(oi - ri).max() <= 1.5e-3
+    assert abs(oi.sum() - ri.sum()) <= 2e-6
+    assert np.abs(oi - ri).max() <= 2e-6

@@ -76,15 +76,22 @@ def test_padded_width_kernels_fit(h, w):
         assert (bh + 2 * halo) * wpad <= vmem.budget_elems(kernel)
 
 
-def test_ccl_explicit_bh_guarded():
-    """A calibrated plan's ccl_bh that exceeds the budget at the current
-    width must raise at trace time, not OOM on the TPU."""
+def test_ccl_explicit_bh_clamped():
+    """A caller-supplied block height tuned at one width (per-instance
+    config defaults, the calibrated plan's ccl_bh) is clamped to the
+    largest legal block at the actual width instead of tripping the
+    VMEM assert — the r02 res-sweep failure mode."""
+    import numpy as np
     import jax.numpy as jnp
-    from rectdetect_tpu.ops.pallas_ccl import label_components_pieces
+    from rectdetect_tpu.ops.pallas_ccl import (label_components_pieces,
+                                               label_components_exact)
 
     pix = jnp.zeros((64, 16384), jnp.int32)
-    with pytest.raises(ValueError, match="ccl_flood"):
-        label_components_pieces(pix, bgc=0, round_cap=48, bh=128)
+    out = label_components_pieces(pix, bgc=0, round_cap=48, bh=128)
+    assert np.asarray(out).shape == (64, 16384)
+    out = label_components_exact(jnp.zeros((64, 3840), jnp.int32),
+                                 bgc=0, bh=256)
+    assert np.asarray(out).shape == (64, 3840)
 
 
 def test_budget_scales_with_limit():

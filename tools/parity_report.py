@@ -27,8 +27,10 @@ sys.path.insert(0, ".")
 
 
 def main():
-    n_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    res = sys.argv[2] if len(sys.argv) > 2 else "168x224"
+    args = [a for a in sys.argv[1:] if a != "--extended"]
+    extended = "--extended" in sys.argv
+    n_scenes = int(args[0]) if len(args) > 0 else 24
+    res = args[1] if len(args) > 1 else "168x224"
     h, w = (int(v) for v in res.split("x"))
 
     import jax
@@ -38,10 +40,13 @@ def main():
     import tests.test_property as tp
 
     tp.W, tp.H = w, h            # scene generator resolution
+    from rectdetect_tpu.config import DEFAULT_CONFIG, EXTENDED_CONFIG
     from rectdetect_tpu.pipeline.rect import rect_frame, live_rects
+    cfg = EXTENDED_CONFIG if extended else DEFAULT_CONFIG
     tan = math.tan(math.radians(72) / 2)
     print(f"platform={jax.devices()[0].platform} {h}x{w} "
-          f"scenes={n_scenes}", flush=True)
+          f"scenes={n_scenes} config="
+          f"{'extended' if extended else 'faithful'}", flush=True)
 
     def corner_err(c2, quad):
         """Min-over-cyclic-alignment mean corner distance."""
@@ -82,7 +87,7 @@ def main():
                 continue
             others = [list(o) for j, o in enumerate(quads) if j != i]
             vis.append((q, not occluded(list(q), others)))
-        dets = live_rects(rect_frame(jnp.asarray(frame), tan))
+        dets = live_rects(rect_frame(jnp.asarray(frame), tan, cfg))
         used = set()
         for q, isolated in vis:
             n_quads += 1
