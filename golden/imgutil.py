@@ -65,30 +65,33 @@ def at(img, x, y):
 
 # --- edgevec / edge ----------------------------------------------------------
 
+# float32 like the device (the whole kernel pipeline is `float`;
+# f64 oracles flip NMS decisions on weak edges vs real behavior)
 V5C = np.array([
     [-4.667, -4.083, 0.000, 4.083, 4.667],
     [-10.024, -0.963, 0.000, 0.963, 10.024],
     [-14.120, 3.622, 0.000, -3.622, 14.120],
     [-10.024, -0.963, 0.000, 0.963, 10.024],
     [-4.667, -4.083, 0.000, 4.083, 4.667],
-])
+], np.float32)
 
 
 def edgevec(img):
-    """oclimgutil.cl:395-420 (edgevec_f), float64 loops."""
+    """oclimgutil.cl:395-420 (edgevec_f), float32 like the device."""
+    img = np.asarray(img, np.float32)
     ih, iw = img.shape
-    out = np.zeros((ih, iw, 2))
+    out = np.zeros((ih, iw, 2), np.float32)
     for y in range(ih):
         for x in range(iw):
-            vx = vy = 0.0
+            vx = vy = np.float32(0.0)
             for yy in range(-2, 3):
                 for xx in range(-2, 3):
                     s = at(img, x + xx, y + yy)
                     vx += V5C[yy + 2, xx + 2] * s
                     vy += V5C[xx + 2, yy + 2] * s
             ivlen = vx * vx + vy * vy
-            if ivlen > 1e-10:
-                r = 1.0 / np.sqrt(ivlen)
+            if ivlen > np.float32(1e-10):
+                r = np.float32(1.0) / np.sqrt(ivlen)
                 out[y, x] = (vx * r, vy * r)
             else:
                 out[y, x] = (0.70710678118, 0.70710678118)
@@ -143,12 +146,14 @@ def edge(img):
 
 
 def edge_lab(labf):
-    """oclimgutil.cl:422-437 (edge_plab): per-channel clamp then sum."""
+    """oclimgutil.cl:422-437 (edge_plab): per-channel clamp then sum,
+    float32 like the device."""
+    labf = np.asarray(labf, np.float32)
     ih, iw = labf.shape[:2]
-    out = np.zeros((ih, iw))
+    out = np.zeros((ih, iw), np.float32)
     for y in range(ih):
         for x in range(iw):
-            total = 0.0
+            total = np.float32(0.0)
             for c in range(3):
                 ch = labf[..., c]
                 t = (at(ch, x, y - 1) + at(ch, x - 1, y)
@@ -157,8 +162,8 @@ def edge_lab(labf):
                 t = (at(ch, x, y - 1) - at(ch, x - 1, y)
                      + at(ch, x + 1, y) - at(ch, x, y + 1))
                 s += (at(ch, x + 1, y - 1) - at(ch, x - 1, y + 1)) * t
-                total += max(0.0, s)
-            out[y, x] = np.sqrt(total) if total > 0 else 0.0
+                total += max(np.float32(0.0), s)
+            out[y, x] = np.sqrt(total) if total > 0 else np.float32(0.0)
     return out
 
 
@@ -186,7 +191,10 @@ def bicubic(img, x, y):
 
 
 def thinthres(edge_img, vec):
-    """oclimgutil.cl:456-471 (thinthres_f_f_f2)."""
+    """oclimgutil.cl:456-471 (thinthres_f_f_f2), float32 like the
+    device."""
+    edge_img = np.asarray(edge_img, np.float32)
+    vec = np.asarray(vec, np.float32)
     ih, iw = edge_img.shape
     out = np.zeros((ih, iw))
     for y in range(ih):
