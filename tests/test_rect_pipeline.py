@@ -140,3 +140,47 @@ def test_rect_outline_only_detected_via_polyline_source():
                  - np.sort(np.array([[24, 20], [100, 20], [100, 72],
                                      [24, 72]], np.float32), 0)).max()
     assert err <= 3.0, err
+
+
+def test_pair_bbox_table_matches_golden_reduce_ls():
+    """ops/reduce_ls.pair_bbox_table vs the loop-level golden emulation
+    of the reduceLS hash kernel (golden.rect.reduce_ls_table,
+    oclrect.cl:427-464).  On a collision-free instance the two are
+    exactly equal: every claimed slot has the same owner lsid and the
+    same clip bbox.  (Under collisions the build's min-claimant redesign
+    deviates deterministically — documented in ops/reduce_ls.py.)"""
+    import numpy as np
+    import jax.numpy as jnp
+    from golden.rect import reduce_ls_table
+    from rectdetect_tpu.ops import reduce_ls
+
+    h, w = 40, 56
+    rng = np.random.default_rng(3)
+    boundary = np.full((h, w), -1, np.int64)
+    boundary[8:12, 6:40] = 333          # two boundary strips
+    boundary[20:23, 10:50] = 777
+    lsid = np.zeros((h, w), np.int64)
+    lsid[10, 8:36] = 4                  # segments riding the strips
+    lsid[21, 12:48] = 9
+    lsid[15, 5:30] = 2                  # off-strip segment (>3 px away)
+
+    nentry = h * w * 4 // 5
+    gold = reduce_ls_table(boundary, lsid, nentry)
+    # collision-free by construction: every (lsid,bid) pair has its own
+    # slot
+    hashes = [(int(a) * int(b)) & 0x7FFFFFFF for a in (4, 9, 2)
+              for b in (333, 777)]
+    assert len({hh % nentry for hh in hashes}) == len(hashes)
+
+    t = reduce_ls.pair_bbox_table(jnp.asarray(boundary, jnp.int32),
+                                  jnp.asarray(lsid, jnp.int32), nentry)
+    own = np.asarray(t.owner_lsid)
+    bb = np.asarray(t.bb)
+    claimed = np.nonzero(gold[:, 0])[0]
+    assert len(claimed) >= 2
+    for hh in claimed:
+        assert own[hh] == gold[hh, 0], hh
+        np.testing.assert_array_equal(bb[hh], gold[hh, 1:], err_msg=str(hh))
+    # and no spurious claims where golden has none (same pair relation)
+    extra = np.nonzero((own > 0) & (gold[:, 0] == 0))[0]
+    assert len(extra) == 0
