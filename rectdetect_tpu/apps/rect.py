@@ -21,6 +21,8 @@ def main(argv=None) -> int:
         common.print_devices()
         return -1
 
+    extended = "--extended" in argv
+    argv = [a for a in argv if a != "--extended"]
     did = int(argv[2]) if len(argv) >= 3 else 0
     common.pick_device(did)
 
@@ -33,16 +35,17 @@ def main(argv=None) -> int:
     # the reference autotunes and saves plan.txt when it is missing
     # (rect.cpp:86-101); here: calibrate capacities on this image
     ih, iw = img.shape[:2]
-    cfg = cal.load_calibrated_config(ih, iw)
-    from rectdetect_tpu.config import DEFAULT_CONFIG
-    if cfg == DEFAULT_CONFIG:
+    from rectdetect_tpu.config import DEFAULT_CONFIG, EXTENDED_CONFIG
+    base = EXTENDED_CONFIG if extended else DEFAULT_CONFIG
+    cfg = cal.load_calibrated_config(ih, iw, cfg=base)
+    if cfg == base:
         print("No plan")                              # vidrect.cpp:125
-        cfg = cal.calibrate([jnp.asarray(img)])
+        cfg = cal.calibrate([jnp.asarray(img)], cfg=base)
     elif not cal.plan_fits(cfg, img):
         # a plan calibrated on a sparser scene class would silently
         # truncate this image's edge map — recalibrate on it instead
         print("Plan does not fit this image; recalibrating")
-        cfg = cal.calibrate([jnp.asarray(img)])
+        cfg = cal.calibrate([jnp.asarray(img)], cfg=base)
 
     tan_aov = math.tan(72.0 / 2 / 180.0 * math.pi)   # rect.cpp:84
     res = rect_frame(jnp.asarray(img), tan_aov, cfg)

@@ -39,10 +39,13 @@ def main(argv=None) -> int:
                                     (streams := int(a.split("=")[1])) >= 0)]
     argv = [a for a in argv if not (a.startswith("--tiles=") and
                                     (tiles := int(a.split("=")[1])) >= 0)]
+    extended = "--extended" in argv
     kept = []
     for a in argv:
         if a.startswith("--trace="):
             trace_dir = a.split("=", 1)[1] or None
+        elif a == "--extended":
+            pass
         else:
             kept.append(a)
     argv = kept
@@ -85,7 +88,9 @@ def main(argv=None) -> int:
 
     # loadPlan analog (rect.cpp:86 / vidrect.cpp:125): apply persisted
     # per-device calibration if present
-    cfg = load_calibrated_config(ih, iw)
+    from rectdetect_tpu.config import DEFAULT_CONFIG, EXTENDED_CONFIG
+    cfg = load_calibrated_config(
+        ih, iw, cfg=EXTENDED_CONFIG if extended else DEFAULT_CONFIG)
     if tiles > 1 and (streams > 1 or batch > 1):
         sys.exit("--tiles cannot be combined with --streams/--batch")
     if trace_dir and (streams > 1 or batch > 1):

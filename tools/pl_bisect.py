@@ -83,32 +83,29 @@ def main():
             tail_switch_rounds=cfg.walk_tail_switch, tail_cap=tail_cap)
         if stop == 1:
             return number_s.sum() + head_s.sum()
+        # mirrors ops/polyline._polyline_tail_sparse (elementwise stats)
         fgnum = live & (number_s > 0)
-        head_slot = comp0.slot_of[jnp.clip(head_s, 0, nimg)]
-        hs_ok = head_slot < S
-        grp = jnp.where(fgnum & hs_ok, head_slot, S)
-        hsafe = jnp.clip(head_slot, 0, S - 1)
-        arcid_min = jnp.full((S + 1,), nimg, jnp.int32).at[grp].min(
-            p_s, mode="drop")
-        sizes_h = jnp.zeros((S + 1,), jnp.int32).at[grp].add(
-            jnp.where(grp < S, 1, 0), mode="drop")
-        keep = fgnum & hs_ok & (sizes_h[hsafe] > cfg.size_thre_rect)
-        is_root = keep & (p_s == arcid_min[hsafe])
+        keep = fgnum & (chainlen_s > cfg.size_thre_rect)
+        root_slot = comp0.slot_of[jnp.clip(arcmin_s, 0, nimg)]
+        keep = keep & (root_slot < S)
+        is_root = keep & (p_s == arcmin_s)
         rank = jnp.cumsum(is_root.astype(jnp.int32))
-        table = jnp.zeros((S + 1,), jnp.int32).at[
-            jnp.where(is_root, head_slot, S)].max(rank, mode="drop")
-        dense_s = jnp.where(keep, table[hsafe], 0).astype(jnp.int32)
+        dense_s = jnp.where(
+            keep, rank[jnp.clip(root_slot, 0, S - 1)], 0).astype(jnp.int32)
         if stop == 2:
             return dense_s.sum()
-        tgt = jnp.where(live, p_s, nimg)
-        dense = jnp.zeros((nimg + 1,), jnp.int32).at[tgt].set(
-            dense_s, mode="drop")[:nimg].reshape(h, w)
-        number = jnp.zeros((nimg + 1,), jnp.int32).at[tgt].set(
-            number_s, mode="drop")[:nimg].reshape(h, w)
-        if stop == 3:
-            return dense.sum() + number.sum()
         sp_arc = max(4096, nimg // cfg.arc_sparse_factor)
         comp = compact_subset(comp0, dense_s > 0, sp_arc)
+        slot_a = comp0.slot_of[jnp.clip(comp.idx, 0, nimg)]
+        sa = jnp.clip(slot_a, 0, S - 1)
+        tgt_a = jnp.where(comp.valid(), jnp.clip(comp.idx, 0, nimg - 1),
+                          nimg)
+        dense = jnp.zeros((nimg + 1,), jnp.int32).at[tgt_a].set(
+            dense_s[sa], mode="drop")[:nimg].reshape(h, w)
+        number = jnp.zeros((nimg + 1,), jnp.int32).at[tgt_a].set(
+            number_s[sa], mode="drop")[:nimg].reshape(h, w)
+        if stop == 3:
+            return dense.sum() + number.sum()
         arena = P.mkpl_init(dense, number, cap, comp)
         if stop == 4:
             return arena.sx.sum()
