@@ -64,13 +64,16 @@ class PipelineConfig:
     # ---- arc numbering --------------------------------------------------
     number_doublings: int = 14    # reach 2^14 px chains (ref reaches ~32768, oclpolyline.cl:287)
     # Two-phase walk (chain.arc_chain_sparse): after reach
-    # 2^walk_tail_switch only long-chain/cycle states survive (8.2k of
-    # 455k measured on the noisy 720p bench scene); the remaining
-    # doublings run over a compacted sub-list of 2S//walk_tail_factor
-    # states.  Overflow falls back to full-table rounds at runtime
-    # (lax.cond) — always exact.  walk_tail_factor=0 disables.
+    # 2^walk_tail_switch the short-fragment states have converged and
+    # the remaining doublings run over a compacted sub-list of
+    # 2S//walk_tail_factor states.  On the strong-edge strings the walk
+    # actually runs on, the survivors are the LONG chains (quad sides),
+    # so the cap must cover a large fraction: /3 engages the sub-list on
+    # the bench scene (-6.5 ms vs a tight cap whose runtime overflow
+    # check falls back to full-table rounds).  Overflow falls back via
+    # lax.cond — always exact.  walk_tail_factor=0 disables.
     walk_tail_switch: int = 4
-    walk_tail_factor: int = 24
+    walk_tail_factor: int = 3
     # ---- polyline stage -------------------------------------------------
     mkpl_iters: int = 16          # N, oclpolyline.c:188 (N-1 subdivision rounds)
     min_n_index: int = 4          # MINNINDEX, oclpolyline.cl:21
