@@ -184,28 +184,31 @@ def _plan_lookup(dev: str, platform: str, h: int, w: int,
 
 
 def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
-                 plan_path: str = PLAN_PATH,
-                 candidates=(48, 64, 96, 128), n_iter: int = 16,
+                 plan_path: str = PLAN_PATH, n_iter: int = 16,
                  time_fn=None) -> PipelineConfig:
-    """Profile Pallas block-CCL block heights on THIS device and persist
-    the winner — the reference's local-work-size autotune
-    (startProfiling/finishProfiling/savePlan, oclhelper.c:312-605, driven
-    by rect.cpp:88-98) reduced to the block parameter that matters for
-    this pipeline's kernels.
+    """Profile the three Pallas block-CCL instances on THIS device and
+    persist the winning block heights — the reference's local-work-size
+    autotune (startProfiling/finishProfiling/savePlan,
+    oclhelper.c:312-605, driven by rect.cpp:88-98) reduced to the block
+    parameters that matter for this pipeline's kernels.
+
+    The instances want OPPOSITE block shapes (docs/STATUS.md): the
+    PIECES instance (strength labels, block-local by design) floods
+    fastest with small blocks; the EXACT instances (region-merge links,
+    boundary) want the largest legal block because seam union + the
+    reseeded second pass dominate.  Tuned and persisted separately as
+    pieces_bh / merge_bh / boundary_bh.
 
     Timing uses the amortized single-readback protocol (pre-uploaded
     input, n_iter submissions, one tiny readback) — the only protocol
     that is truthful on relay-transported devices, where
     block_until_ready acks enqueue rather than completion.
 
-    time_fn(bh) -> seconds overrides the measurement (tests).
-
-    Candidates whose block exceeds the Pallas VMEM budget for the frame
-    width are skipped up front (the same ccl_bh also drives
-    label_merge_exact and label_components_pieces, whose kernels hold
-    more live block buffers); the winner is validated by compiling the
-    merge kernel before being persisted.  NOTE: pieces boundaries depend
-    on bh — rerun the capacity calibration after changing it."""
+    time_fn(kind, bh) -> seconds overrides the measurement (tests).
+    Candidates that exceed the VMEM budget at this width are clamped or
+    skipped (pallas_ccl._clamp_bh); failures are skipped.  NOTE: pieces
+    boundaries depend on pieces_bh — rerun the capacity calibration
+    after changing it."""
     import time
 
     import jax
@@ -217,66 +220,82 @@ def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
         return cfg
 
     if time_fn is None:
-        from rectdetect_tpu.ops.pallas_ccl import _BLOCK_ELEMS
-        candidates = [bh for bh in candidates
-                      if bh * w <= _BLOCK_ELEMS] or [_BLOCK_ELEMS // w
-                                                     // 8 * 8]
-        from rectdetect_tpu.ops.ccl import label_components
+        from rectdetect_tpu.ops.pallas_ccl import (label_components_exact,
+                                                   label_components_pieces,
+                                                   label_merge_exact)
 
         rng = np.random.default_rng(0)
-        # the workload constraint: NMS thinning keeps ~30% of pixels on
-        # noisy frames, so tune at that density (docs/STATUS.md)
-        pix = jnp.asarray((rng.random((h, w)) < 0.3).astype(np.int32))
-        pix = jax.device_put(pix)
-        np.asarray(pix)[:1]
+        # pieces tune at noisy strings density (~30%); boundary at the
+        # sparse strip density (~2%); merge on quantized color blocks
+        noisy = jax.device_put(jnp.asarray(
+            (rng.random((h, w)) < 0.3).astype(np.int32)))
+        strip = jax.device_put(jnp.asarray(
+            (rng.random((h, w)) < 0.02).astype(np.int32) - 1))
+        packed = jax.device_put(jnp.asarray(
+            rng.integers(0, 2 ** 22, (h, w), dtype=np.int32)))
+        zero = jax.device_put(jnp.zeros((h, w), jnp.int32))
+        np.asarray(noisy)[:1]
 
-        def time_fn(bh):
-            f = jax.jit(lambda p: label_components(p, 0, cfg.ccl_passes,
-                                                   cfg.ccl_jumps, bh=bh))
-            r = f(pix)
-            np.asarray(r)[:1, :1]              # compile + settle
-            t0 = time.perf_counter()
-            for _ in range(n_iter):
-                r = f(pix)
-            np.asarray(r)[:1, :1]              # drain the in-order queue
-            return (time.perf_counter() - t0) / n_iter
+        def runner(make):
+            def f(bh):
+                g = jax.jit(lambda: make(bh))
+                r = g()
+                np.asarray(r)[:1, :1]          # compile + settle
+                t0 = time.perf_counter()
+                for _ in range(n_iter):
+                    r = g()
+                np.asarray(r)[:1, :1]          # drain the queue
+                return (time.perf_counter() - t0) / n_iter
+            return f
 
-    results = {}
-    for bh in candidates:
-        try:
-            results[bh] = time_fn(bh)
-        except Exception as e:                  # illegal block (VMEM)
-            print(f"tune_kernels: bh={bh} failed ({type(e).__name__})")
-    if not results:
-        return cfg
-    best = min(results, key=results.get)
-    if time_fn is None:
-        # the winner must also be legal for the links-mode kernel
-        # (label_merge_exact holds more live block buffers)
-        from rectdetect_tpu.ops.pallas_ccl import label_merge_exact
-        for bh in sorted(results, key=results.get):
+        kinds = {
+            "pieces_bh": ((8, 16, 32, 64), runner(
+                lambda bh: label_components_pieces(
+                    noisy, 0, cfg.weak_ccl_round_cap, bh=bh))),
+            "merge_bh": ((96, 192, 256), runner(
+                lambda bh: label_merge_exact(packed, zero, zero, bh=bh))),
+            "boundary_bh": ((96, 192, 256), runner(
+                lambda bh: label_components_exact(
+                    strip, -1, bh=bh,
+                    round_cap=cfg.boundary_ccl_round_cap))),
+        }
+    else:
+        kinds = {
+            "pieces_bh": ((8, 16, 32, 64),
+                          lambda bh: time_fn("pieces_bh", bh)),
+            "merge_bh": ((96, 192, 256),
+                         lambda bh: time_fn("merge_bh", bh)),
+            "boundary_bh": ((96, 192, 256),
+                            lambda bh: time_fn("boundary_bh", bh)),
+        }
+
+    winners = {}
+    for kind, (candidates, fn) in kinds.items():
+        results = {}
+        for bh in candidates:
             try:
-                r = label_merge_exact(jnp.zeros((h, w), jnp.int32),
-                                      jnp.zeros((h, w), jnp.int32),
-                                      jnp.zeros((h, w), jnp.int32), bh=bh)
-                np.asarray(r)[:1, :1]
-                best = bh
-                break
-            except Exception as e:
-                print(f"tune_kernels: bh={bh} fails label_merge "
-                      f"({type(e).__name__}), trying next")
-        else:
-            return cfg
-    for bh in sorted(results):
-        mark = " <-- best" if bh == best else ""
-        print(f"tune_kernels: bh={bh:4d}  {results[bh] * 1e3:8.2f} ms"
-              f"{mark}")
-    new = dataclasses.replace(cfg, ccl_bh=int(best))
+                results[bh] = fn(bh)
+            except Exception as e:              # illegal block / fault
+                print(f"tune_kernels: {kind} bh={bh} failed "
+                      f"({type(e).__name__})")
+        if not results:
+            continue
+        best = min(results, key=results.get)
+        for bh in sorted(results):
+            mark = " <-- best" if bh == best else ""
+            print(f"tune_kernels: {kind:12s} bh={bh:4d}  "
+                  f"{results[bh] * 1e3:8.2f} ms{mark}")
+        winners[kind] = int(best)
+    if not winners:
+        return cfg
+
+    new = dataclasses.replace(cfg, **winners)
     import jax as _jax
     dev = _jax.devices()[0].device_kind
     key = _key(dev, h, w)
     entries = native.plan_load(plan_path, key)
-    entries["ccl_bh"] = str(int(best))
+    for k, v in winners.items():
+        entries[k] = str(v)
     native.plan_save(plan_path, key, entries)
     return new
 
@@ -322,6 +341,9 @@ def load_calibrated_config(h: int, w: int,
                                             cfg.cycle_sparse_factor)),
         ls_capacity=int(entries.get("ls_capacity", cfg.ls_capacity)),
         ccl_bh=int(entries.get("ccl_bh", cfg.ccl_bh)),
+        pieces_bh=int(entries.get("pieces_bh", cfg.pieces_bh)),
+        merge_bh=int(entries.get("merge_bh", cfg.merge_bh)),
+        boundary_bh=int(entries.get("boundary_bh", cfg.boundary_bh)),
     )
 
 

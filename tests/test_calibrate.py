@@ -60,33 +60,40 @@ def test_calibrated_config_runs():
 
 
 def test_tune_kernels_persist_and_apply(tmp_path):
-    """Kernel-block autotune: winner persisted next to the capacity plan
-    and applied by load_calibrated_config (plan.txt local-work-size
-    analog).  Timing injected — the mechanism is what's under test."""
+    """Kernel-block autotune: per-instance winners persisted next to
+    the capacity plan and applied by load_calibrated_config (plan.txt
+    local-work-size analog).  Timing injected — the mechanism is what's
+    under test."""
     import jax
     plan = str(tmp_path / "plan.txt")
-    times = {48: 3.0, 64: 1.5, 96: 2.0}
+    times = {("pieces_bh", 8): 2.0, ("pieces_bh", 16): 1.0,
+             ("pieces_bh", 32): 3.0, ("pieces_bh", 64): 4.0,
+             ("merge_bh", 96): 3.0, ("merge_bh", 192): 1.0,
+             ("merge_bh", 256): 2.0,
+             ("boundary_bh", 96): 3.0, ("boundary_bh", 192): 2.0,
+             ("boundary_bh", 256): 1.0}
     cfg = calibrate.tune_kernels(24, 32, plan_path=plan,
-                                 candidates=(48, 64, 96),
-                                 time_fn=lambda bh: times[bh])
-    assert cfg.ccl_bh == 64
+                                 time_fn=lambda k, bh: times[(k, bh)])
+    assert cfg.pieces_bh == 16
+    assert cfg.merge_bh == 192
+    assert cfg.boundary_bh == 256
 
     dev = jax.devices()[0].device_kind
     from rectdetect_tpu.runtime import native
     entries = native.plan_load(plan, calibrate._key(dev, 24, 32))
-    assert entries["ccl_bh"] == "64"
+    assert entries["merge_bh"] == "192"
 
     loaded = calibrate.load_calibrated_config(24, 32, plan_path=plan)
-    assert loaded.ccl_bh == 64
+    assert loaded.pieces_bh == 16
+    assert loaded.boundary_bh == 256
 
     # a failing candidate is skipped, not fatal
-    def flaky(bh):
-        if bh == 96:
+    def flaky(kind, bh):
+        if (kind, bh) == ("merge_bh", 192):
             raise RuntimeError("VMEM")
-        return {48: 2.0, 64: 9.0}[bh]
-    cfg2 = calibrate.tune_kernels(24, 32, plan_path=plan,
-                                  candidates=(48, 64, 96), time_fn=flaky)
-    assert cfg2.ccl_bh == 48
+        return times[(kind, bh)]
+    cfg2 = calibrate.tune_kernels(24, 32, plan_path=plan, time_fn=flaky)
+    assert cfg2.merge_bh == 256
 
 
 def test_plan_fits_probe():
