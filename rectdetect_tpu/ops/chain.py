@@ -342,9 +342,16 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
                 jnp.minimum(jnp.minimum(m2, b2), cand))
 
     k0 = min(tail_switch_rounds, n_doublings) if tail_cap else n_doublings
+    # term at ENTRY to the final phase-1 round; a state is a true
+    # fixpoint only once a round has MERGED the absorbing row it rests
+    # on (the terminal pixel enters minv/minv2 one round after the
+    # pointer lands there), i.e. term_prev==1, not term==1.  For k0==0
+    # only the originally-absorbing states are fixpoints.
+    term_prev = absorb0.astype(jnp.int32)
     for _ in range(k0):
         packed = jnp.stack([dist, ptr, minv, term, end, minv2], axis=1)
         rows = _doubling_rows(packed, ptr, axis_name)   # one row gather
+        term_prev = term
         dist = dist + rows[:, 0]
         minv, minv2 = _merge2(minv, minv2, rows[:, 2], rows[:, 5])
         term = rows[:, 3]
@@ -352,18 +359,20 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
         ptr = rows[:, 1]
 
     if k0 < n_doublings:
-        # Phase 2: a walk state is a fixpoint exactly when its pointer
-        # rests on an original absorbing state (absorbing rows never
-        # change, and the round that landed there already folded the
-        # terminal's dist/minv in).  Compact the non-fixpoint states and
-        # finish the doublings there: references to fixpoints read the
-        # frozen full table, references within the sub-list read the
-        # fresh sub state.  Bit-identical to the full walk: when the
-        # survivors exceed the sub-list cap (structure-rich scenes where
-        # most strings sit on long chains), a runtime lax.cond falls
-        # back to full-table rounds instead of truncating.
+        # Phase 2: a walk state is a fixpoint when its pointer rested on
+        # an original absorbing state at entry to the last round
+        # (absorbing rows never change, and that last round folded the
+        # terminal's pixel into minv/minv2; a state that only LANDED on
+        # the terminal in the last round still misses it and must keep
+        # walking).  Compact the non-fixpoint states and finish the
+        # doublings there: references to fixpoints read the frozen full
+        # table, references within the sub-list read the fresh sub
+        # state.  Bit-identical to the full walk: when the survivors
+        # exceed the sub-list cap (structure-rich scenes where most
+        # strings sit on long chains), a runtime lax.cond falls back to
+        # full-table rounds instead of truncating.
         C2 = tail_cap
-        unconv = live2 & (term == 0)
+        unconv = live2 & (term_prev == 0)
         n_unconv = jnp.sum(unconv.astype(jnp.int32))
 
         def sub_branch(state):

@@ -336,7 +336,7 @@ def label_blocked(pix, bgc: int, mode: str = "equal",
         bh = _clamp_bh(bh, h, w)
     interpret = jax.default_backend() not in ("tpu",)
     lbl = _run_blocks(pix, None, bgc=bgc, mode=mode, bh=bh,
-                      interpret=interpret,
+                      interpret=interpret, round_cap=round_cap,
                       inner_nb=inner_nb)
     if h <= bh:
         return lbl
@@ -349,7 +349,7 @@ def label_blocked(pix, bgc: int, mode: str = "equal",
     for i, r in enumerate(seam_rows):
         seed = seed.at[r].set(sv[i])
     return _run_blocks(pix, seed, bgc=bgc, mode=mode, bh=bh,
-                       interpret=interpret,
+                       interpret=interpret, round_cap=round_cap,
                        inner_nb=inner_nb)
 
 
@@ -375,7 +375,7 @@ def _label_sparse(pix, bgc: int, mode: str, comp, bh, round_cap,
         bh = _clamp_bh(bh, h, w)
     interpret = jax.default_backend() not in ("tpu",)
     lbl = _run_blocks(pix32, None, bgc=bgc, mode=mode, bh=bh,
-                      interpret=interpret,
+                      interpret=interpret, round_cap=round_cap,
                       inner_nb=inner_nb)
     p_s = jnp.clip(comp.idx, 0, n - 1)
     fg_s = _fg(mode, pix32.reshape(-1)[p_s], bgc) & comp.valid()
@@ -439,7 +439,7 @@ def label_components_pieces(pix, bgc: int, round_cap: int,
         bh = _clamp_bh(bh, h, w)
     interpret = jax.default_backend() not in ("tpu",)
     lbl = _run_blocks(pix.astype(jnp.int32), None, bgc=bgc, mode="equal",
-                      bh=bh, interpret=interpret,
+                      bh=bh, interpret=interpret, round_cap=round_cap,
                       inner_nb=inner_nb)
     fg = pix != bgc
     return jnp.where(fg, lbl, -1).astype(jnp.int32)

@@ -154,9 +154,45 @@ def test_two_phase_walk_matches_full_walk():
     full = arc_chain_sparse(strings, comp, 12, 1024, tail_cap=0)
     two = arc_chain_sparse(strings, comp, 12, 1024,
                            tail_switch_rounds=4, tail_cap=4096)
-    for a, b, name in zip(full, two, ("number", "head", "live", "cyc")):
+    names = ("number", "head", "live", "cyc", "chainlen", "arcmin")
+    assert len(full) == len(names) and len(two) == len(names)
+    for a, b, name in zip(full, two, names):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_two_phase_walk_u_chain_arcmin():
+    """Adversarial freeze-timing case: a U-chain whose NON-head terminal
+    is the arc min (excluding the head), with walk states at distance
+    exactly 2^switch from that terminal.  A state whose pointer lands on
+    the terminal in the final phase-1 round has NOT yet folded the
+    terminal's pixel into minv/minv2 — freezing it there corrupts
+    arcmin_s (and through _polyline_tail_sparse the arc ids)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.ops.chain import arc_chain_sparse
+    from rectdetect_tpu.ops.compact import compact_mask
+
+    h, w = 48, 64
+    img = np.zeros((h, w), np.int32)
+    # U: down col 10 (rows 2..20), across row 20 (cols 10..14), up col 14
+    # (rows 20..2).  Ends (2,10) [head: min flat index] and (2,14) [the
+    # chain min excluding the head — every interior pixel has row >= 3].
+    img[2:21, 10] = 1
+    img[20, 10:15] = 1
+    img[2:21, 14] = 1
+    strings = jnp.asarray(img)
+    comp = compact_mask((strings != 0).reshape(-1), 256)
+
+    full = arc_chain_sparse(strings, comp, 12, 64, tail_cap=0)
+    for switch in (3, 4, 5):
+        two = arc_chain_sparse(strings, comp, 12, 64,
+                               tail_switch_rounds=switch, tail_cap=256)
+        names = ("number", "head", "live", "cyc", "chainlen", "arcmin")
+        for a, b, name in zip(full, two, names):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{name} @ switch={switch}")
 
 
 def test_two_phase_walk_overflow_is_deterministic():

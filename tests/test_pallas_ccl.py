@@ -198,6 +198,38 @@ def test_pieces_strength_filter_contract():
         _strength_keep(edge2, pc2, 500), _strength_keep(edge2, ex2, 500))
 
 
+def test_round_cap_actually_truncates():
+    """A small round_cap must bound the flood rounds (regression: commit
+    c2d0f3e dropped round_cap forwarding at the _run_blocks call sites,
+    so caller caps were silently ignored and floods ran to the
+    effectively-unbounded default).  On percolated noise, bh=64 (single
+    block — no seam splitting) with cap=2 must yield strictly more
+    pieces than the uncapped flood, and stay a refinement of it."""
+    r = np.random.default_rng(5)
+    pix = (r.random((64, 64)) < 0.55).astype(np.int32)
+    capped = np.asarray(P.label_components_pieces(jnp.asarray(pix), 0,
+                                                  round_cap=2, bh=64))
+    uncapped = np.asarray(P.label_components_pieces(jnp.asarray(pix), 0,
+                                                    round_cap=100000,
+                                                    bh=64))
+    n_capped = np.unique(capped[capped >= 0]).size
+    n_uncapped = np.unique(uncapped[uncapped >= 0]).size
+    assert n_capped > n_uncapped, (n_capped, n_uncapped)
+    for v in np.unique(capped[capped >= 0]):
+        owners = np.unique(uncapped[capped == v])
+        assert owners.size == 1, f"piece {v} spans {owners}"
+    # the two-level path (label_blocked via label_components_exact) must
+    # forward the cap too: a capped two-level on the same scene is also
+    # a strict refinement
+    capped2 = np.asarray(P.label_components_exact(jnp.asarray(pix), 0,
+                                                  bh=16, round_cap=2))
+    exact = np.asarray(P.label_components_exact(jnp.asarray(pix), 0,
+                                                bh=16))
+    n2 = np.unique(capped2[capped2 >= 0]).size
+    ne = np.unique(exact[exact >= 0]).size
+    assert n2 > ne, (n2, ne)
+
+
 def test_capped_two_level_converges_on_clean_structures():
     # a multi-block rectangle boundary strip converges way below the cap
     h, w = 64, 48
