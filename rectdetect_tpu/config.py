@@ -74,6 +74,14 @@ class PipelineConfig:
     # lax.cond — always exact.  walk_tail_factor=0 disables.
     walk_tail_switch: int = 4
     walk_tail_factor: int = 3
+    # Second tail stage: after walk_tail_rounds2 more rounds at the
+    # first cap (reach 2^(switch+rounds2)), the survivors are
+    # re-compacted to 2S//walk_tail_factor2 — only states further than
+    # the reach from both chain ends (and cycles) remain, so the last
+    # rounds run over a far shorter list.  Overflow falls back to
+    # full-table rounds for that stage (exact).  factor2=0 disables.
+    walk_tail_rounds2: int = 4
+    walk_tail_factor2: int = 16
     # ---- polyline stage -------------------------------------------------
     mkpl_iters: int = 16          # N, oclpolyline.c:188 (N-1 subdivision rounds)
     min_n_index: int = 4          # MINNINDEX, oclpolyline.cl:21
@@ -147,6 +155,18 @@ class PipelineConfig:
     # kills nearly all noise arcs: measured 0.32% density on a 30%-noise
     # 720p frame.  /48 (~2%) keeps a >5x margin at a ~20x cost saving.
     arc_sparse_factor: int = 48
+    # small-capacity branch of the runtime arc switch in the polyline
+    # tail: when the post-filter arc pixels fit n//arc_small_factor,
+    # mkpl/refine's 15 iterations of slot gathers and arena scatters run
+    # at this capacity AND the working segment arena shrinks to match
+    # (segment count <= arc pixel count, see _polyline_tail_sparse).
+    # 0 disables the switch.
+    arc_small_factor: int = 192
+    # run-length region representation for calcSize + despeckle2
+    # (regions.sizes_despeckle2): run-list capacity H*W//factor; region
+    # maps measure ~2% run density, /16 keeps a 3x margin and a runtime
+    # cond falls back to the dense pair beyond it.  0 = always dense.
+    region_run_factor: int = 16
     # ---- hypothesis / pose ----------------------------------------------
     probe_n: int = 3              # probe points along segment, oclrect.c:1070
     probe_dist: int = 2           # perpendicular probe offsets, oclrect.c:1070

@@ -232,7 +232,8 @@ def _arc_number_sparse(label, n0, n1, n_doublings: int, cap: int,
 def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
                      axis_name: str | None = None,
                      tail_switch_rounds: int = 6,
-                     tail_cap: int = 0):
+                     tail_cap: int = 0,
+                     tail_stages=None):
     """Arc-length numbering with built-in loop breaking, in one walk.
 
     Replaces the polyline pipeline's strings-CCL -> count_ends ->
@@ -278,6 +279,15 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
     rows per round (phase-2 comment below).  tail_cap=0 disables
     (every round over the full table).  The phase-2 gathers are always
     replicated; axis_name shards phase 1 only.
+
+    tail_stages: optional tuple of (rounds, cap) stages overriding the
+    single (n_doublings - tail_switch_rounds, tail_cap) stage: after
+    each stage's rounds, the sub-list state is written back to the full
+    table and the still-unconverged states are re-compacted to the next
+    (smaller) cap — exponentially fewer states survive each extra reach
+    doubling, so later rounds run over far shorter lists.  Each stage's
+    engage test falls back to running that stage at the previous
+    capacity when its survivors don't fit (always exact).
     """
     h, w = strings.shape
     n = h * w
@@ -359,38 +369,63 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
         ptr = rows[:, 1]
 
     if k0 < n_doublings:
-        # Phase 2: a walk state is a fixpoint when its pointer rested on
-        # an original absorbing state at entry to the last round
-        # (absorbing rows never change, and that last round folded the
-        # terminal's pixel into minv/minv2; a state that only LANDED on
-        # the terminal in the last round still misses it and must keep
-        # walking).  Compact the non-fixpoint states and finish the
-        # doublings there: references to fixpoints read the frozen full
-        # table, references within the sub-list read the fresh sub
-        # state.  Bit-identical to the full walk: when the survivors
-        # exceed the sub-list cap (structure-rich scenes where most
-        # strings sit on long chains), a runtime lax.cond falls back to
-        # full-table rounds instead of truncating.
-        C2 = tail_cap
-        unconv = live2 & (term_prev == 0)
-        n_unconv = jnp.sum(unconv.astype(jnp.int32))
+        # Tail stages: a walk state is a fixpoint when its pointer
+        # rested on an original absorbing state at entry to the last
+        # round (absorbing rows never change, and that last round folded
+        # the terminal's pixel into minv/minv2; a state that only LANDED
+        # on the terminal in the last round still misses it and must
+        # keep walking).  Each stage compacts the non-fixpoint states
+        # into a sub-list, runs its rounds there (references to
+        # fixpoints read the frozen full table, references within the
+        # sub-list read the fresh sub state), then writes the sub state
+        # back — so the next stage can re-compact to a smaller cap
+        # (every extra reach doubling converges more states).
+        # Bit-identical to the full walk: when a stage's survivors
+        # exceed its cap (structure-rich scenes where most strings sit
+        # on long chains), a runtime lax.cond runs that stage over the
+        # full table instead of truncating.
+        stages = tail_stages
+        if stages is None:
+            stages = ((n_doublings - k0, tail_cap),)
+        # pack the state as one (2S, 7) matrix [dist, ptr, minv, term,
+        # end, minv2, term_prev]: each stage's write-back is ONE row
+        # scatter and each compaction ONE row gather
+        M = jnp.stack([dist, ptr, minv, term, end, minv2,
+                       term_prev.astype(jnp.int32)], axis=1)
 
-        def sub_branch(state):
-            dist, ptr, minv, term, end, minv2 = state
+        def full_stage(M, r):
+            dist, ptr, minv, term, end, minv2, tp = (
+                M[:, 0], M[:, 1], M[:, 2], M[:, 3], M[:, 4], M[:, 5],
+                M[:, 6])
+            for _ in range(r):
+                packed = jnp.stack([dist, ptr, minv, term, end, minv2],
+                                   axis=1)
+                rows = _doubling_rows(packed, ptr, axis_name)
+                tp = term
+                dist = dist + rows[:, 0]
+                minv, minv2 = _merge2(minv, minv2, rows[:, 2],
+                                      rows[:, 5])
+                term = rows[:, 3]
+                end = rows[:, 4]
+                ptr = rows[:, 1]
+            return jnp.stack([dist, ptr, minv, term, end, minv2, tp],
+                             axis=1)
+
+        def sub_stage(M, r, C2, unconv):
             sids = jnp.arange(2 * S, dtype=jnp.int32)
             ranks = jnp.cumsum(unconv.astype(jnp.int32)) - 1
             take = unconv & (ranks < C2)
-            sub_of = jnp.where(take, ranks, C2)   # elementwise, no scatter
+            sub_of = jnp.where(take, ranks, C2)   # elementwise
             sub_idx = jnp.full((C2 + 1,), 2 * S, jnp.int32).at[
                 jnp.where(take, ranks, C2)].min(sids, mode="drop")[:C2]
             ssafe = jnp.clip(sub_idx, 0, 2 * S - 1)
             sub_live = sub_idx < 2 * S
-            # frozen full table with the sub-rank map as a 7th column:
-            # one row gather serves all six state fields + sub_of
-            frozen = jnp.stack([dist, ptr, minv, term, end, minv2,
-                                sub_of], axis=1)
+            # frozen full table with the sub-rank map as a 7th column
+            # (term_prev of frozen rows is dead weight during rounds)
+            frozen = jnp.concatenate([M[:, :6], sub_of[:, None]], axis=1)
             st2 = frozen[ssafe][:, :6]
-            for _ in range(n_doublings - k0):
+            tp2 = jnp.zeros((C2,), jnp.int32)     # unconv => term_prev 0
+            for _ in range(r):
                 rows_f = frozen[st2[:, 1]]
                 js = rows_f[:, 6]
                 in_sub = (js < C2)[:, None]
@@ -398,41 +433,36 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
                 rows = jnp.where(in_sub, rows_s, rows_f[:, :6])
                 m1, m2 = _merge2(st2[:, 2], st2[:, 5],
                                  rows[:, 2], rows[:, 5])
+                tp2 = st2[:, 3]
                 st2 = jnp.stack(
                     [st2[:, 0] + rows[:, 0], rows[:, 1], m1,
                      rows[:, 3], rows[:, 4], m2], axis=1)
             tgt2 = jnp.where(sub_live, sub_idx, 2 * S)
-            return (dist.at[tgt2].set(st2[:, 0], mode="drop"),
-                    ptr.at[tgt2].set(st2[:, 1], mode="drop"),
-                    minv.at[tgt2].set(st2[:, 2], mode="drop"),
-                    term.at[tgt2].set(st2[:, 3], mode="drop"),
-                    end.at[tgt2].set(st2[:, 4], mode="drop"),
-                    minv2.at[tgt2].set(st2[:, 5], mode="drop"))
+            upd = jnp.concatenate([st2, tp2[:, None]], axis=1)
+            return M.at[tgt2].set(upd, mode="drop")
 
-        def full_branch(state):
-            dist, ptr, minv, term, end, minv2 = state
-            for _ in range(n_doublings - k0):
-                packed = jnp.stack([dist, ptr, minv, term, end, minv2],
-                                   axis=1)
-                rows = _doubling_rows(packed, ptr, axis_name)
-                dist = dist + rows[:, 0]
-                minv, minv2 = _merge2(minv, minv2, rows[:, 2],
-                                      rows[:, 5])
-                term = rows[:, 3]
-                end = rows[:, 4]
-                ptr = rows[:, 1]
-            return dist, ptr, minv, term, end, minv2
-
-        if axis_name is None:
-            dist, ptr, minv, term, end, minv2 = lax.cond(
-                n_unconv <= C2, sub_branch, full_branch,
-                (dist, ptr, minv, term, end, minv2))
-        else:
-            # under shard_map the cond predicate must agree on every
-            # device — n_unconv is replicated-identical, but keep the
-            # sharded full path for simplicity there
-            dist, ptr, minv, term, end, minv2 = full_branch(
-                (dist, ptr, minv, term, end, minv2))
+        rounds_left = n_doublings - k0
+        for si, (r_i, cap_i) in enumerate(stages):
+            r_i = rounds_left if si == len(stages) - 1 else min(
+                r_i, rounds_left)
+            if r_i <= 0:
+                continue
+            if cap_i <= 0 or axis_name is not None:
+                # under shard_map the cond predicate must agree on every
+                # device — n_unconv is replicated-identical, but keep
+                # the sharded full path for simplicity there
+                M = full_stage(M, r_i)
+            else:
+                unconv = live2 & (M[:, 6] == 0)
+                n_unconv = jnp.sum(unconv.astype(jnp.int32))
+                M = lax.cond(
+                    n_unconv <= cap_i,
+                    lambda m, u=unconv, r=r_i, c=cap_i: sub_stage(
+                        m, r, c, u),
+                    lambda m, r=r_i: full_stage(m, r), M)
+            rounds_left -= r_i
+        dist, ptr, minv, term, end, minv2 = (
+            M[:, 0], M[:, 1], M[:, 2], M[:, 3], M[:, 4], M[:, 5])
 
     absorbed = term != 0
     endpix = end

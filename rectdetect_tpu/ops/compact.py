@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -40,11 +41,20 @@ def compact_mask(mask_flat, cap: int) -> Compaction:
     take = mask_flat & (ranks < cap)
     slot_of = jnp.full((n + 1,), cap, jnp.int32)
     slot_of = slot_of.at[:n].set(jnp.where(take, ranks, cap))
-    idx = jnp.full((cap + 1,), n, jnp.int32)
-    flat = jnp.arange(n, dtype=jnp.int32)
-    idx = idx.at[jnp.where(take, ranks, cap)].set(flat, mode="drop")
+    # slot i holds the i-th set flat index: sorting the taken flat
+    # indices (all others keyed N, which sorts to the tail) packs them
+    # in flat order — ~4x cheaper than the equivalent N-update-row
+    # scatter on TPU (tools/prim_bench.py: ~1.1 ms vs ~4.4 ms marginal
+    # at 921600), because XLA's sort streams where scatter pays the
+    # random-row constant per update row.
+    key = jnp.where(take, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    srt = jax.lax.sort([key], num_keys=1)[0]
+    if cap > n:
+        idx = jnp.concatenate([srt, jnp.full((cap - n,), n, jnp.int32)])
+    else:
+        idx = srt[:cap]
     count = jnp.minimum(ranks[-1] + 1, cap).astype(jnp.int32)
-    return Compaction(idx=idx[:cap], slot_of=slot_of, n=count)
+    return Compaction(idx=idx, slot_of=slot_of, n=count)
 
 
 def gather_image(c: Compaction, img_flat, fill=0):

@@ -582,9 +582,15 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
     cyc_cap = max(1024, n // cfg.cycle_sparse_factor)
     tail_cap = (max(4096, 2 * S // cfg.walk_tail_factor)
                 if cfg.walk_tail_factor else 0)
+    tail_stages = None
+    if tail_cap and cfg.walk_tail_factor2:
+        cap2 = max(2048, 2 * S // cfg.walk_tail_factor2)
+        if cap2 < tail_cap:
+            tail_stages = ((cfg.walk_tail_rounds2, tail_cap), (0, cap2))
     number_s, _, live, _, chainlen_s, arcmin_s = arc_chain_sparse(
         strings, comp0, cfg.number_doublings, cyc_cap, axis_name,
-        tail_switch_rounds=cfg.walk_tail_switch, tail_cap=tail_cap)
+        tail_switch_rounds=cfg.walk_tail_switch, tail_cap=tail_cap,
+        tail_stages=tail_stages)
 
     # ---- arc grouping (replaces label_arcs + calcSize + filterSize +
     # relabel).  The walk reports the arc pixel count (chain length
@@ -606,17 +612,62 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
     # materialize the dense/number images mkpl reads through `comp`:
     # only arc pixels are ever read, so scatter at the arc slot count
     sp_arc = max(4096, n // cfg.arc_sparse_factor)
-    comp = compact_subset(comp0, dense_s > 0, sp_arc)
-    slot_a = comp0.slot_of[jnp.clip(comp.idx, 0, n)]
-    sa = jnp.clip(slot_a, 0, S - 1)
-    tgt_a = jnp.where(comp.valid(), jnp.clip(comp.idx, 0, n - 1), n)
-    dense = jnp.zeros((n + 1,), jnp.int32).at[tgt_a].set(
-        dense_s[sa], mode="drop")[:n].reshape(h, w)
-    number = jnp.zeros((n + 1,), jnp.int32).at[tgt_a].set(
-        number_s[sa], mode="drop")[:n].reshape(h, w)
+    sp_arc_small = (min(sp_arc, max(1024, n // cfg.arc_small_factor), cap)
+                    if cfg.arc_small_factor else 0)
 
-    arena = mkpl_init(dense, number, cap, comp)
-    arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
-                                 cfg.mkpl_iters, comp, axis_name)
-    arena = refine(arena, lsid, comp)
-    return arena, lsid, comp
+    def _mkpl_at(arc_cap: int, arena_cap: int):
+        comp = compact_subset(comp0, dense_s > 0, arc_cap)
+        slot_a = comp0.slot_of[jnp.clip(comp.idx, 0, n)]
+        sa = jnp.clip(slot_a, 0, S - 1)
+        tgt_a = jnp.where(comp.valid(), jnp.clip(comp.idx, 0, n - 1), n)
+        dense = jnp.zeros((n + 1,), jnp.int32).at[tgt_a].set(
+            dense_s[sa], mode="drop")[:n].reshape(h, w)
+        number = jnp.zeros((n + 1,), jnp.int32).at[tgt_a].set(
+            number_s[sa], mode="drop")[:n].reshape(h, w)
+        arena = mkpl_init(dense, number, arena_cap, comp)
+        arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
+                                     cfg.mkpl_iters, comp, axis_name)
+        arena = refine(arena, lsid, comp)
+        return arena, lsid, comp
+
+    if not sp_arc_small or sp_arc_small >= sp_arc:
+        return _mkpl_at(sp_arc, cap)
+
+    # Runtime arc-capacity switch (same pattern as the strings switch in
+    # polyline_execute): post-size-filter arc pixels measure ~0.3% of the
+    # frame on noisy scenes, so mkpl/refine's per-iteration slot gathers,
+    # arena scatters and cumsums — the dominant polyline table costs —
+    # run at the small capacity whenever the arc pixels fit.  Equality of
+    # the branches when n_arc < sp_arc_small: compact_subset drops
+    # nothing, segment count is bounded by arc pixels (chord spans >= 1
+    # number index each, so leaves over an L-px arc number <= L), hence
+    # neither branch's arena allocation ever truncates and ids match.
+    n_arc = jnp.sum((dense_s > 0).astype(jnp.int32))
+
+    def small(_):
+        arena, lsid, comp = _mkpl_at(sp_arc_small, sp_arc_small)
+        pad_c = cap - sp_arc_small
+
+        def padf(x):
+            return jnp.concatenate([x, jnp.zeros((pad_c,), x.dtype)])
+
+        arena = SegmentArena(
+            sx=padf(arena.sx), sy=padf(arena.sy), ex=padf(arena.ex),
+            ey=padf(arena.ey), start_index=padf(arena.start_index),
+            end_index=padf(arena.end_index), left_ptr=padf(arena.left_ptr),
+            right_ptr=padf(arena.right_ptr),
+            start_count=padf(arena.start_count),
+            end_count=padf(arena.end_count), polyid=padf(arena.polyid),
+            npix=padf(arena.npix), level=padf(arena.level),
+            count=arena.count)
+        from rectdetect_tpu.ops.compact import Compaction
+        idx = jnp.concatenate(
+            [comp.idx, jnp.full((sp_arc - sp_arc_small,), n, jnp.int32)])
+        slot_of = jnp.where(comp.slot_of >= sp_arc_small, sp_arc,
+                            comp.slot_of).astype(jnp.int32)
+        return arena, lsid, Compaction(idx=idx, slot_of=slot_of, n=comp.n)
+
+    def big(_):
+        return _mkpl_at(sp_arc, cap)
+
+    return jax.lax.cond(n_arc < sp_arc_small, small, big, None)

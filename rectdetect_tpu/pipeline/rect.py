@@ -216,8 +216,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
                                   cfg.labelmerge_passes,
                                   cfg.labelmerge_jumps,
                                   bh=cfg.ccl_bh or cfg.merge_bh or None)
-        sizes = regions.label_sizes(seg)
-        seg = regions.despeckle2(seg, sizes, cfg.despeckle2_thre)
+        seg = regions.sizes_despeckle2(seg, cfg.despeckle2_thre,
+                                       cfg.region_run_factor)
 
     # boundary labeling (oclrect.c:340-342).  Boundary strips are ~1-5%
     # dense on typical frames but worst-case ~30%; pick the slot capacity

@@ -119,6 +119,10 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
             40, int(1.0 / min(max(strings_d * 1.5, 1e-4), 1.0)))),
         boundary_sparse_factor=factor_for(boundary_d, cap=32),
         arc_sparse_factor=factor_for(arcs_d, cap=128),
+        # arc small branch: 1.5x margin like strings_small_factor
+        # (overflow falls back to the big list, exactly equal output)
+        arc_small_factor=max(1, min(
+            512, int(1.0 / min(max(arcs_d * 1.5, 1e-4), 1.0)))),
         cycle_sparse_factor=factor_for(cyc_d, cap=256),
         ls_capacity=int(min(max(arcs * 4 * MARGIN, 4096), 262144)),
     )
@@ -129,6 +133,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         "strings_small_factor": str(new.strings_small_factor),
         "boundary_sparse_factor": str(new.boundary_sparse_factor),
         "arc_sparse_factor": str(new.arc_sparse_factor),
+        "arc_small_factor": str(new.arc_small_factor),
         "cycle_sparse_factor": str(new.cycle_sparse_factor),
         "ls_capacity": str(new.ls_capacity),
     })
@@ -337,6 +342,8 @@ def load_calibrated_config(h: int, w: int,
             "boundary_sparse_factor", cfg.boundary_sparse_factor)),
         arc_sparse_factor=int(entries.get("arc_sparse_factor",
                                           cfg.arc_sparse_factor)),
+        arc_small_factor=int(entries.get("arc_small_factor",
+                                         cfg.arc_small_factor)),
         cycle_sparse_factor=int(entries.get("cycle_sparse_factor",
                                             cfg.cycle_sparse_factor)),
         ls_capacity=int(entries.get("ls_capacity", cfg.ls_capacity)),

@@ -216,3 +216,45 @@ def test_two_phase_walk_overflow_is_deterministic():
                          tail_switch_rounds=3, tail_cap=64)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_multi_stage_walk_matches_full_walk():
+    """The staged tail (re-compaction after a few sub-list rounds, with
+    write-back between stages) is bit-identical to the full walk — on
+    long chains, cycles, U-chains (freeze-timing adversarial) and noise,
+    across stage splits, including stages whose cap overflows (those
+    fall back to full-table rounds for that stage only)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.ops.chain import arc_chain_sparse
+    from rectdetect_tpu.ops.compact import compact_mask
+
+    h, w = 96, 128
+    img = np.zeros((h, w), np.int32)
+    img[10, 2:120] = 1                    # long chain
+    img[30:60, 40] = 1                    # vertical chain
+    img[70:80, 60] = 1                    # ring (cycle)
+    img[70:80, 70] = 1
+    img[70, 60:71] = 1
+    img[79, 60:71] = 1
+    img[2:21, 90] = 1                     # U-chain
+    img[20, 90:95] = 1
+    img[2:21, 94] = 1
+    r = np.random.default_rng(13)
+    img |= (r.random((h, w)) < 0.08).astype(np.int32)
+    strings = jnp.asarray(img)
+    comp = compact_mask((strings != 0).reshape(-1), h * w // 2)
+
+    full = arc_chain_sparse(strings, comp, 12, 1024, tail_cap=0)
+    names = ("number", "head", "live", "cyc", "chainlen", "arcmin")
+    for stages in (((3, 4096), (0, 512)),
+                   ((2, 4096), (2, 1024), (0, 256)),
+                   ((3, 4096), (0, 8)),       # stage-2 cap overflows
+                   ((1, 2), (0, 4096))):      # stage-1 cap overflows
+        got = arc_chain_sparse(strings, comp, 12, 1024,
+                               tail_switch_rounds=3, tail_cap=4096,
+                               tail_stages=stages)
+        for a, b, name in zip(full, got, names):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{name} @ stages={stages}")

@@ -204,3 +204,56 @@ def test_polyline_rectangle_outline_four_corners():
     lens = [np.hypot(a["ex"][g] - a["sx"][g], a["ey"][g] - a["sy"][g])
             for g in live]
     assert sum(l > 15 for l in lens) >= 4 or len(live) == 4
+
+
+def test_arc_capacity_switch_bit_identical(strings):
+    """The runtime arc-capacity switch (small mkpl/refine slot lists +
+    small working arena) must be bit-identical to the big branch when
+    the arc pixels fit, including the padded arena/compaction tails."""
+    import dataclasses
+    from rectdetect_tpu.config import DEFAULT_CONFIG
+
+    edge = jnp.asarray(strings)
+    cap = 256
+    big_cfg = dataclasses.replace(DEFAULT_CONFIG, arc_small_factor=0)
+    small_cfg = DEFAULT_CONFIG          # switch enabled (default)
+
+    a_big, l_big, c_big = tpoly.polyline_execute(
+        edge, 1.0, 5, cap, big_cfg, return_comp=True)
+    a_small, l_small, c_small = tpoly.polyline_execute(
+        edge, 1.0, 5, cap, small_cfg, return_comp=True)
+
+    for f in tpoly.SegmentArena._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a_big, f)), np.asarray(getattr(a_small, f)),
+            err_msg=f"arena field {f}")
+    np.testing.assert_array_equal(np.asarray(l_big), np.asarray(l_small))
+    np.testing.assert_array_equal(np.asarray(c_big.idx),
+                                  np.asarray(c_small.idx))
+    np.testing.assert_array_equal(np.asarray(c_big.slot_of),
+                                  np.asarray(c_small.slot_of))
+    assert int(c_big.n) == int(c_small.n)
+
+
+def test_arc_capacity_switch_overflow_falls_back(strings):
+    """When arcs exceed the small cap the cond must take the big branch
+    (same outputs as arc_small_factor=0) instead of truncating."""
+    import dataclasses
+    from rectdetect_tpu.config import DEFAULT_CONFIG
+
+    # dense arc scene: many long horizontal lines
+    img = np.zeros((64, 96), np.int32)
+    img[2:62:3, 4:92] = 1
+    edge = jnp.asarray(img)
+    cap = 2048
+    # arc_small_factor huge -> small cap = max(1024, n//100000) = 1024;
+    # arc pixels = 20*88 = 1760 > 1024 -> must fall back
+    cfg_sw = dataclasses.replace(DEFAULT_CONFIG, arc_small_factor=100000)
+    cfg_big = dataclasses.replace(DEFAULT_CONFIG, arc_small_factor=0)
+    a_sw, l_sw = tpoly.polyline_execute(edge, 1.0, 5, cap, cfg_sw)
+    a_big, l_big = tpoly.polyline_execute(edge, 1.0, 5, cap, cfg_big)
+    for f in tpoly.SegmentArena._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a_big, f)), np.asarray(getattr(a_sw, f)),
+            err_msg=f"arena field {f}")
+    np.testing.assert_array_equal(np.asarray(l_big), np.asarray(l_sw))

@@ -190,3 +190,32 @@ def test_simple_connect_rect_matches_golden():
     got = np.asarray(morphology.simple_connect_rect(
         jnp.asarray(jn.astype(np.int32))))
     np.testing.assert_array_equal(got, gold)
+
+
+def test_sizes_despeckle2_runlength_matches_dense(scene):
+    """The run-length fused calcSize+despeckle2 must equal the dense
+    pair bit-for-bit, in both the run-length branch and the adversarial
+    fallback."""
+    packed, edge = scene
+    em = edge.astype(np.float32) * 3.0
+    q = greg.quantize(packed, 24)
+    d = greg.despeckle(q, em)
+    mask = greg.merge_mask(np.zeros_like(edge))
+    elab = np.where(edge != 0,
+                    np.arange(edge.size).reshape(edge.shape) + 1, -1)
+    seg = treg.label_merge(jnp.asarray(d.astype(np.int32)),
+                           jnp.asarray(mask.astype(np.int32)),
+                           jnp.asarray(elab.astype(np.int32)))
+    want = np.asarray(treg.despeckle2(seg, treg.label_sizes(seg), 16))
+    # run-length branch (default factor; scene runs fit easily)
+    got = np.asarray(treg.sizes_despeckle2(seg, 16, run_factor=16))
+    np.testing.assert_array_equal(got, want)
+    # checkerboard-ish adversarial map: every pixel its own run ->
+    # overflows the cap (run_cap 4096 < n 65536 here) -> the cond must
+    # take the dense fallback
+    h, w = 128, 512
+    rng = np.random.default_rng(7)
+    adv = jnp.asarray(rng.integers(0, h * w, (h, w), dtype=np.int32))
+    want2 = np.asarray(treg.despeckle2(adv, treg.label_sizes(adv), 16))
+    got2 = np.asarray(treg.sizes_despeckle2(adv, 16, run_factor=16))
+    np.testing.assert_array_equal(got2, want2)

@@ -92,8 +92,8 @@ def main():
                                   cfg.labelmerge_passes,
                                   cfg.labelmerge_jumps,
                                   bh=cfg.ccl_bh or cfg.merge_bh or None)
-        sizes = regions.label_sizes(seg)
-        seg = regions.despeckle2(seg, sizes, cfg.despeckle2_thre)
+        seg = regions.sizes_despeckle2(seg, cfg.despeckle2_thre,
+                                       cfg.region_run_factor)
         if stop == 3:
             return seg.sum()
         bmark = regions.mark_boundary(seg)
