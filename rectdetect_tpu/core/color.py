@@ -57,11 +57,21 @@ def srgb_to_linear(u8):
 
 
 def linear_to_srgb(lin):
-    """Linear light -> sRGB byte value in [0,255] float (inverse of the l2s LUT)."""
+    """Linear light -> sRGB byte value in [0,255] float (closed form)."""
     lin = jnp.clip(lin, 0.0, 1.0)
     s = jnp.where(lin <= 0.0031308, lin * 12.92,
                   1.055 * lin ** (1.0 / 2.4) - 0.055)
     return jnp.clip(jnp.round(s * 255.0), 0, 255)
+
+
+def linear_to_srgb_exact(lin):
+    """Linear light -> sRGB byte through the regenerated l2s LUT, exactly
+    as lab2srgb consumes it: l2s[clamp(convert_int_rtn(lin * 1024), 0,
+    1023)] (oclimgutil.cl:173-175; table :697-762)."""
+    from rectdetect_tpu.core.luts import l2s_table
+    tbl = jnp.asarray(l2s_table())
+    i = jnp.clip(jnp.floor(lin * 1024.0).astype(jnp.int32), 0, 1023)
+    return tbl[i]
 
 
 def _lab_f(t):
@@ -196,11 +206,13 @@ def unpack_labf(packed):
     return jnp.stack([lf, af, bf], axis=-1)
 
 
-def labf_to_bgr(labf):
+def labf_to_bgr(labf, exact: bool = False):
     """(H,W,3) normalized Lab -> (H,W,3) uint8 BGR (inverse conversion).
 
     Mirrors lab2srgb (oclimgutil.cl:146-178): scales back to L*/a*/b*, inverts
     the f() transfer, applies the XYZ->sRGB matrix and gamma-encodes.
+    exact=True gamma-encodes through the regenerated l2s LUT exactly as
+    the reference kernel does (floor-to-1024-grid indexing).
     """
     lstar = labf[..., 0] * 256.0
     astar = labf[..., 1] * 256.0 - 128.0
@@ -221,6 +233,6 @@ def labf_to_bgr(labf):
     r = m[0][0] * x + m[0][1] * y + m[0][2] * z
     g = m[1][0] * x + m[1][1] * y + m[1][2] * z
     b = m[2][0] * x + m[2][1] * y + m[2][2] * z
-    bgr = jnp.stack([linear_to_srgb(b), linear_to_srgb(g), linear_to_srgb(r)],
-                    axis=-1)
+    enc = linear_to_srgb_exact if exact else linear_to_srgb
+    bgr = jnp.stack([enc(b), enc(g), enc(r)], axis=-1)
     return bgr.astype(jnp.uint8)

@@ -17,9 +17,14 @@ exactly without shipping copied data:
 
 (9039 = round(f(0) * 65536) = round(16/116 * 65536): lab2srgb adds it
 back at oclimgutil.cl:159, which pins the offset.)  The inverse table
-`l2s` is NOT cleanly formula-derivable (its rounding is irregular); the
-inverse/debug path keeps the closed-form conversion (core/color.py),
-which matches it within 1 byte step.
+`l2s` (oclimgutil.cl:697-762, consumed at :173-175 as
+l2s[clamp(floor(lin*1024), 0, 1023)]) is the sampling
+
+    l2s[i] = clamp(round(linear_to_srgb(i / 1023) * 256), 0, 255)
+
+— note the off-by-the-usual conventions: the 1024-entry grid is
+normalized by 1023 and the byte scale is 256, both verified entry-exact
+against the reference during development.
 """
 
 from __future__ import annotations
@@ -47,6 +52,20 @@ def s2l_table() -> np.ndarray:
 def _lab_f(t):
     th = (6.0 / 29.0) ** 3
     return np.where(t > th, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+
+@functools.lru_cache(maxsize=None)
+def l2s_table() -> np.ndarray:
+    """(1024,) int32: clamp(round(linear_to_srgb(i/1023) * 256), 0, 255).
+
+    The inverse of s2l (oclimgutil.cl:697-762).  Grid normalization is
+    /1023 (not /1024) and the output scale 256 (not 255) with
+    round-half-up — the combination that reproduces every reference
+    entry exactly."""
+    lin = np.arange(1024, dtype=np.float64) / 1023.0
+    s = np.where(lin <= 0.0031308, lin * 12.92,
+                 1.055 * np.power(lin, 1.0 / 2.4) - 0.055)
+    return np.clip(_round_half_up(s * 256.0), 0, 255).astype(np.int32)
 
 
 @functools.lru_cache(maxsize=None)

@@ -118,3 +118,37 @@ def test_color_exact_pipeline_detects():
     a = np.sort(np.asarray(got[0]["c2"]), axis=0)
     b = np.sort(np.asarray(ref[0]["c2"]), axis=0)
     np.testing.assert_allclose(a, b, atol=1.5)
+
+
+def test_l2s_table_spot_values():
+    """l2s = clamp(round(linear_to_srgb(i/1023)*256), 0, 255): spot
+    entries, monotonicity, and closed-form agreement within 1."""
+    import jax.numpy as jnp
+    from rectdetect_tpu.core.luts import l2s_table
+    from rectdetect_tpu.core import color
+
+    t = l2s_table()
+    assert t.shape == (1024,)
+    assert [int(t[i]) for i in (0, 1, 2, 3, 4, 16, 1023)] == \
+        [0, 3, 6, 10, 13, 34, 255]
+    assert np.all(np.diff(t) >= 0) and t.dtype == np.int32
+    # the LUT path floor-indexes a 1024 grid, so vs closed-form rounding
+    # it is off by the encoding's slope per grid cell: <= 1 byte once
+    # the gamma curve flattens (lin >= ~0.023), up to ~3.2 bytes inside
+    # the 12.92 toe — the reference kernel's own quantization, not ours
+    lin = jnp.linspace(0.0, 1.0, 4097)
+    a = np.asarray(color.linear_to_srgb_exact(lin))
+    b = np.asarray(color.linear_to_srgb(lin))
+    d = np.abs(a - b)
+    # (the table's /1023 grid vs the kernel's /1024 floor-index adds a
+    # one-cell skew on top of rounding)
+    assert np.max(d[np.asarray(lin) >= 0.05]) <= 2
+    assert np.max(d) <= 4
+    # round trip byte -> linear -> l2s: the reference's table pair is
+    # NOT mutually inverse (256-vs-255 scale, /1023-vs-/1024 grid), so
+    # its own roundtrip carries a ~1-byte bias (3 in the toe) — ours
+    # must reproduce exactly that, not be "better"
+    u8 = jnp.arange(256, dtype=jnp.uint8)
+    rt = np.asarray(color.linear_to_srgb_exact(color.srgb_to_linear(u8)))
+    d_rt = np.abs(rt - np.arange(256))
+    assert np.max(d_rt) <= 3 and np.max(d_rt[24:]) <= 1
