@@ -181,6 +181,21 @@ class PipelineConfig:
     aspect_limit: float = 12.0    # oclrect.c:643
     offset_ratio_limit: float = 100.0  # oclrect.c:653
 
+    # ---- branch pinning (batched throughput mode) -----------------------
+    # The runtime capacity switches above are lax.conds on per-frame
+    # scalars; under vmap (rect_frames) a batched predicate makes XLA
+    # execute BOTH branches and select — the measured cause of batching
+    # running ~3x slower per frame than single-frame mode.  Batch serving
+    # pins each switch from the calibration plan instead (the plan's
+    # densities decide the branch for the scene class; overflow on a
+    # pinned small branch degrades deterministically exactly like the
+    # documented overflow behavior of that branch).  0 = runtime cond,
+    # 1 = pin small/run-length/sub-list, 2 = pin big/dense/full-table.
+    pin_strings_branch: int = 0
+    pin_arc_branch: int = 0
+    pin_walk_tail: int = 0
+    pin_region_runs: int = 0
+
     def ls_cap_for(self, iw: int, ih: int) -> int:
         """Arena capacity: min(config cap, reference's byte budget iw*ih*4*4/56)."""
         return int(min(self.ls_capacity, max(256, iw * ih * 16 // 56)))

@@ -233,7 +233,8 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
                      axis_name: str | None = None,
                      tail_switch_rounds: int = 6,
                      tail_cap: int = 0,
-                     tail_stages=None):
+                     tail_stages=None,
+                     tail_pin: int = 0):
     """Arc-length numbering with built-in loop breaking, in one walk.
 
     Replaces the polyline pipeline's strings-CCL -> count_ends ->
@@ -447,11 +448,19 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
                 r_i, rounds_left)
             if r_i <= 0:
                 continue
-            if cap_i <= 0 or axis_name is not None:
+            if cap_i <= 0 or axis_name is not None or tail_pin == 2:
                 # under shard_map the cond predicate must agree on every
                 # device — n_unconv is replicated-identical, but keep
-                # the sharded full path for simplicity there
+                # the sharded full path for simplicity there.
+                # tail_pin == 2: batched mode pins the full-table path
+                # (a vmapped cond would run both branches anyway)
                 M = full_stage(M, r_i)
+            elif tail_pin == 1:
+                # batched mode pinned to the sub-list: overflow freezes
+                # the dropped states at the switch reach (deterministic,
+                # same as the documented overflow of the cond path)
+                unconv = live2 & (M[:, 6] == 0)
+                M = sub_stage(M, r_i, cap_i, unconv)
             else:
                 unconv = live2 & (M[:, 6] == 0)
                 n_unconv = jnp.sum(unconv.astype(jnp.int32))

@@ -509,8 +509,13 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
             return _polyline_tail(s, sp, minerror, size_thre, cap, cfg,
                                   axis_name)
 
-        arena, lsid, comp = jax.lax.cond(fg_count <= sp_small, small, big,
-                                         strings)
+        if cfg.pin_strings_branch == 1:
+            arena, lsid, comp = small(strings)
+        elif cfg.pin_strings_branch == 2:
+            arena, lsid, comp = big(strings)
+        else:
+            arena, lsid, comp = jax.lax.cond(fg_count <= sp_small, small,
+                                             big, strings)
         if return_comp:
             return arena, lsid, comp
         return arena, lsid
@@ -590,7 +595,7 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
     number_s, _, live, _, chainlen_s, arcmin_s = arc_chain_sparse(
         strings, comp0, cfg.number_doublings, cyc_cap, axis_name,
         tail_switch_rounds=cfg.walk_tail_switch, tail_cap=tail_cap,
-        tail_stages=tail_stages)
+        tail_stages=tail_stages, tail_pin=cfg.pin_walk_tail)
 
     # ---- arc grouping (replaces label_arcs + calcSize + filterSize +
     # relabel).  The walk reports the arc pixel count (chain length
@@ -670,4 +675,8 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
     def big(_):
         return _mkpl_at(sp_arc, cap)
 
+    if cfg.pin_arc_branch == 1:
+        return small(None)
+    if cfg.pin_arc_branch == 2:
+        return big(None)
     return jax.lax.cond(n_arc < sp_arc_small, small, big, None)

@@ -437,7 +437,8 @@ def despeckle2(label, sizes, thre: int = 16, sz_at=None):
     return jnp.where(small, best_lb, label).astype(jnp.int32)
 
 
-def sizes_despeckle2(label, thre: int = 16, run_factor: int = 16):
+def sizes_despeckle2(label, thre: int = 16, run_factor: int = 16,
+                     pin: int = 0):
     """Fused calcSize + despeckle2 (oclrect.cl:336-371) via a run-length
     region representation.
 
@@ -460,6 +461,9 @@ def sizes_despeckle2(label, thre: int = 16, run_factor: int = 16):
     runtime cond falls back to the dense pair — always exact.
 
     run_factor: run-list capacity H*W//run_factor; 0 = dense pair.
+    pin: 1 pins the run-length branch (batched mode — a vmapped cond
+    would run both branches; run overflow then truncates, with each
+    kept run clamped to one row so no size inflates), 2 pins dense.
     """
     h, w = label.shape
     n = h * w
@@ -485,7 +489,11 @@ def sizes_despeckle2(label, thre: int = 16, run_factor: int = 16):
         # never cross rows (col 0 always starts one), so the run length
         # is the gap to the next start; the last live run ends at n
         nxt = jnp.concatenate([idx[1:], jnp.full((1,), n, jnp.int32)])
-        rlen = jnp.where(valid, jnp.minimum(nxt, n) - idx, 0)
+        # a run never exceeds one row; the clamp only matters under a
+        # pinned-overflowing list, where the last kept run would
+        # otherwise span to the end of the frame
+        rlen = jnp.where(valid,
+                         jnp.minimum(jnp.minimum(nxt, n) - idx, w), 0)
         lbl_r = label.reshape(-1)[safe]                  # one run gather
         tgt = jnp.where(valid, jnp.clip(lbl_r, 0, n - 1), n)
         sizes = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(
@@ -506,6 +514,10 @@ def sizes_despeckle2(label, thre: int = 16, run_factor: int = 16):
     def dense(_):
         return despeckle2(label, label_sizes(label), thre)
 
+    if pin == 1:
+        return runlength(None)
+    if pin == 2:
+        return dense(None)
     return jax.lax.cond(nruns <= run_cap, runlength, dense, None)
 
 

@@ -217,7 +217,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
                                   cfg.labelmerge_jumps,
                                   bh=cfg.ccl_bh or cfg.merge_bh or None)
         seg = regions.sizes_despeckle2(seg, cfg.despeckle2_thre,
-                                       cfg.region_run_factor)
+                                       cfg.region_run_factor,
+                                       pin=cfg.pin_region_runs)
 
     # boundary labeling (oclrect.c:340-342).  Boundary strips are ~1-5%
     # dense on typical frames but worst-case ~30%; pick the slot capacity

@@ -69,13 +69,24 @@ def _densities(bgr_frames, cfg: PipelineConfig):
         _, _, _, cyc, _, _ = arc_chain_sparse(strings, comp,
                                               cfg.number_doublings, 4096)
         cyc_d = jnp.sum(cyc.astype(jnp.float32)) / hw
+        # run density of the PRE-despeckle2 region map (what
+        # regions.sizes_despeckle2 compacts; despeckle2 only merges, so
+        # pre-despeckle2 is the worst case)
+        from rectdetect_tpu.ops import regions as tregions
+        seg_pre = tregions.label_merge(st["despeckled"], st["merge_mask"],
+                                       st["strong_labels"])
+        runs_d = jnp.mean(jnp.concatenate(
+            [jnp.ones((seg_pre.shape[0], 1), jnp.float32),
+             (seg_pre[:, 1:] != seg_pre[:, :-1]).astype(jnp.float32)],
+            axis=1))
         return (edge_d, rect_strings_d, strings_d, boundary_d, arcs_d,
-                n_arcs, cyc_d)
+                n_arcs, cyc_d, runs_d)
 
     edge_d = rect_d = strings_d = boundary_d = arcs_d = cyc_d = 0.0
+    runs_d = 0.0
     arcs = 0
     for f in bgr_frames:
-        e, rs, s, b, a, n, c = stats(f)
+        e, rs, s, b, a, n, c, rd = stats(f)
         edge_d = max(edge_d, float(e))
         rect_d = max(rect_d, float(rs))
         strings_d = max(strings_d, float(s))
@@ -83,7 +94,9 @@ def _densities(bgr_frames, cfg: PipelineConfig):
         arcs_d = max(arcs_d, float(a))
         arcs = max(arcs, int(n))
         cyc_d = max(cyc_d, float(c))
-    return edge_d, rect_d, strings_d, boundary_d, arcs_d, arcs, cyc_d
+        runs_d = max(runs_d, float(rd))
+    return (edge_d, rect_d, strings_d, boundary_d, arcs_d, arcs, cyc_d,
+            runs_d)
 
 
 def _key(device_kind: str, h: int, w: int) -> str:
@@ -102,7 +115,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     import jax
     h, w = np.asarray(bgr_frames[0]).shape[:2]
     (edge_d, rect_d, strings_d, boundary_d, arcs_d, arcs,
-     cyc_d) = _densities(bgr_frames, cfg)
+     cyc_d, runs_d) = _densities(bgr_frames, cfg)
 
     def factor_for(density, cap=64):
         d = min(max(density * MARGIN, 1e-4), 1.0)
@@ -126,6 +139,11 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         cycle_sparse_factor=factor_for(cyc_d, cap=256),
         ls_capacity=int(min(max(arcs * 4 * MARGIN, 4096), 262144)),
     )
+    # batched-mode branch pin for the run-length despeckle2: the cond's
+    # predicate is nruns <= H*W//region_run_factor; pin run-length when
+    # the measured run density clears it with a 1.5x margin
+    pin_runs = (1 if cfg.region_run_factor and
+                runs_d * 1.5 <= 1.0 / cfg.region_run_factor else 2)
     dev = device_kind or jax.devices()[0].device_kind
     native.plan_save(plan_path, _key(dev, h, w), {
         "sparse_factor": str(new.sparse_factor),
@@ -136,6 +154,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         "arc_small_factor": str(new.arc_small_factor),
         "cycle_sparse_factor": str(new.cycle_sparse_factor),
         "ls_capacity": str(new.ls_capacity),
+        "pin_region_runs": str(pin_runs),
     })
     return new
 
@@ -308,14 +327,24 @@ def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
 def load_calibrated_config(h: int, w: int,
                            cfg: PipelineConfig = DEFAULT_CONFIG,
                            plan_path: str = PLAN_PATH,
-                           verbose: bool = False) -> PipelineConfig:
+                           verbose: bool = False,
+                           batch: bool = False) -> PipelineConfig:
     """Apply a persisted calibration if one exists (loadPlan analog).
 
     Falls back across TPU device-kind spellings ("TPU v5 lite" vs
     "TPU v5e" vs relay-specific kinds): if the exact key misses and the
     device looks like a TPU, any persisted TPU entry at the same
     resolution applies — capacities depend on the workload, not the
-    chip generation."""
+    chip generation.
+
+    batch=True additionally pins the runtime capacity switches for
+    vmapped throughput mode (a batched lax.cond predicate makes XLA run
+    BOTH branches and select): the strings/arc switches pin to the
+    small branch (calibration sizes those caps to fit the scene class
+    by construction), the region-runs switch pins per the plan's
+    measured run density, and the walk tail pins to full-table rounds
+    (its engage predicate depends on chain structure, which the density
+    plan does not capture — full is the exact, cond-free choice)."""
     import sys
 
     import jax
@@ -330,8 +359,17 @@ def load_calibrated_config(h: int, w: int,
     if verbose:
         print(f"calibrate: applying plan [{used}] (device kind "
               f"{dev!r})", file=sys.stderr)
+    pins = {}
+    if batch:
+        pins = dict(
+            pin_strings_branch=1,
+            pin_arc_branch=1,
+            pin_walk_tail=2,
+            pin_region_runs=int(entries.get("pin_region_runs", 1)),
+        )
     return dataclasses.replace(
         cfg,
+        **pins,
         sparse_factor=int(entries.get("sparse_factor",
                                       cfg.sparse_factor)),
         strings_sparse_factor=int(entries.get(

@@ -184,3 +184,37 @@ def test_pair_bbox_table_matches_golden_reduce_ls():
     # and no spurious claims where golden has none (same pair relation)
     extra = np.nonzero((own > 0) & (gold[:, 0] == 0))[0]
     assert len(extra) == 0
+
+
+def test_pinned_branches_match_cond_branches():
+    """Branch pinning for batched mode (pin_* config fields) must
+    reproduce the runtime-cond results exactly when the capacities fit
+    (the cond would pick the same branch)."""
+    import dataclasses
+    import math
+    from rectdetect_tpu.config import DEFAULT_CONFIG
+    from rectdetect_tpu.pipeline import rect as prect
+
+    r = np.random.default_rng(9)
+    bgr = np.full((120, 160, 3), 70, np.uint8)
+    bgr[22:80, 30:120] = (180, 160, 60)
+    bgr = (bgr.astype(np.int16)
+           + r.integers(-3, 4, bgr.shape, dtype=np.int16)).clip(
+               0, 255).astype(np.uint8)
+    tan = math.tan(math.radians(72) / 2)
+    want = prect.rect_frame(jnp.asarray(bgr), tan, DEFAULT_CONFIG)
+    pinned = dataclasses.replace(
+        DEFAULT_CONFIG, pin_strings_branch=1, pin_arc_branch=1,
+        pin_region_runs=1, pin_walk_tail=1)
+    got = prect.rect_frame(jnp.asarray(bgr), tan, pinned)
+    for f in want._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(want, f)), np.asarray(getattr(got, f)),
+            err_msg=f)
+    # pin_walk_tail=2 (full-table rounds) is the other exact pin
+    pinned2 = dataclasses.replace(pinned, pin_walk_tail=2)
+    got2 = prect.rect_frame(jnp.asarray(bgr), tan, pinned2)
+    for f in want._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(want, f)), np.asarray(getattr(got2, f)),
+            err_msg=f)

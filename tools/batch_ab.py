@@ -45,18 +45,25 @@ def main():
     fps1 = n_iter / (time.perf_counter() - t0)
     print(json.dumps({"mode": "single", "fps": round(fps1, 2)}))
 
+    # pinned config: the runtime capacity switches are lax.conds that a
+    # vmapped (batched) predicate turns into run-both-branches selects;
+    # serving pins them from the plan (load_calibrated_config batch=True)
+    cfg_pin = load_calibrated_config(h, w, batch=True)
     for b in batches:
         import jax.numpy as jnp
         batch = jnp.stack([frames[i % 4] for i in range(b)])
-        rb = rect_frames(batch, tan, cfg)
-        np.asarray(rb.value)[:1, :1]
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            rb = rect_frames(batch, tan, cfg)
-        np.asarray(rb.value)[:1, :1]
-        fps = b * n_iter / (time.perf_counter() - t0)
-        print(json.dumps({"mode": f"batch{b}", "fps": round(fps, 2),
-                          "vs_single": round(fps / fps1, 3)}))
+        for label, c in (("cond", cfg), ("pinned", cfg_pin)):
+            rb = rect_frames(batch, tan, c)
+            np.asarray(rb.value)[:1, :1]
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                rb = rect_frames(batch, tan, c)
+            np.asarray(rb.value)[:1, :1]
+            fps = b * n_iter / (time.perf_counter() - t0)
+            print(json.dumps({"mode": f"batch{b}/{label}",
+                              "fps": round(fps, 2),
+                              "vs_single": round(fps / fps1, 3)}),
+                  flush=True)
     return 0
 
 
