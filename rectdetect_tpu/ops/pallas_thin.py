@@ -1,9 +1,8 @@
 """Pallas TPU kernel for NMS edge thinning (thinthres / thincubic).
 
-The XLA formulation (ops/thin.py) evaluates 4 bicubic samples as 64
-statically shifted multiply-adds each — 256 pad/slice stencil reads plus
-~64 weight maps, all materialized through HBM.  This kernel keeps one row
-block in VMEM and turns every tap into a lane roll:
+Same exact-Horner formulation as ops/thin.py (select the 4 Catmull-Rom taps
+per axis from static shifts, then run the reference's bicubicSub sequence,
+oclimgutil.cl:65-74), with the stencil reads turned into in-VMEM lane rolls:
 
   * y taps (offsets -3..+4) come from 8 globally pre-shifted copies of the
     edge image, built once in XLA from the SAME reflect-101 padding as the
@@ -13,12 +12,12 @@ block in VMEM and turns every tap into a lane roll:
     mirror columns so rolled wrap-around values are never read by a valid
     output column;
   * the 64 tap rolls are shared by all four sample offsets k in
-    {-2,-1,1,2} (the XLA path re-derives them per k and relies on CSE).
+    {-2,-1,1,2} via an explicit hoist.
 
-Accumulation order (a ascending inside b ascending, row sums scaled by the
-y weight) matches ops/thin.py exactly; residual differences are FMA-
-contraction ulp, so tests use the same tolerance contract as the XLA path
-has vs the golden oracle (tests/test_pallas_thin.py).
+The per-pixel select + Horner sequence matches ops/thin.py op for op;
+residual differences are FMA-contraction ulp on the Mosaic side, so tests
+keep the tolerance contract (tests/test_pallas_thin.py) while the XLA path
+is bit-exact vs the golden oracle (tests/test_edge_ops.py).
 
 Reference: thinthres_f_f_f2 oclimgutil.cl:456-471, thincubic_float_float
 oclimgutil.cl:473-491, bicubic oclimgutil.cl:65-94.
@@ -35,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rectdetect_tpu.ops.shifts import pad2d
 from rectdetect_tpu.ops import vmem
-from rectdetect_tpu.ops.thin import _axis_weights
+from rectdetect_tpu.ops.thin import _bicubic_sub, _int_frac
 
 _R = 4          # tap offsets span [-3, +4] (ops/thin.py)
 _KS = (-2.0, -1.0, 1.0, 2.0)
@@ -49,29 +48,43 @@ def _thin_kernel(em8_ref, vx_ref, vy_ref, out_ref, *, bh: int, mode: str,
     vy = vy_ref[:]
     bhh, wp = vx.shape
 
-    # true pixel coordinates (the weight placement truncates the absolute
-    # position, ops/thin.py:_axis_weights)
-    xcoord = (jax.lax.broadcasted_iota(jnp.int32, (bhh, wp), 1) - _R
-              ).astype(vx.dtype)
-    ycoord = (jax.lax.broadcasted_iota(jnp.int32, (bhh, wp), 0) + blk * bh
-              ).astype(vx.dtype)
+    # true pixel coordinates (the reference truncates the f32-rounded
+    # ABSOLUTE position, ops/thin.py:_int_frac)
+    ixc = jax.lax.broadcasted_iota(jnp.int32, (bhh, wp), 1) - _R
+    iyc = jax.lax.broadcasted_iota(jnp.int32, (bhh, wp), 0) + blk * bh
+    xcoord = ixc.astype(vx.dtype)
+    ycoord = iyc.astype(vx.dtype)
 
-    # one sample offset k at a time: the 16 live weight maps + the em8
-    # block fit the VMEM scoped stack at bh=16 (28 MB measured at bh=64)
+    # all 64 (y offset b-3, x offset o) taps, shared across the 4 samples
+    taps = []
+    for b in range(8):
+        emb = em8[b]
+        # Mosaic rejects roll-by-0 (zero-size slice)
+        taps.append([emb if o == 0 else jnp.roll(emb, -o, axis=1)
+                     for o in range(-3, 5)])
+
     acc = []
     for k in _KS:
-        wxs = _axis_weights(k * vx, xcoord)              # [a] (bh, wp)
-        wys = _axis_weights(k * vy, ycoord)
-        s = jnp.zeros((bhh, wp), vx.dtype)
-        for b in range(8):              # y offset b-3
-            emb = em8[b]
-            row = jnp.zeros((bhh, wp), vx.dtype)
-            for a in range(8):          # x offset a-3
-                # Mosaic rejects roll-by-0 (zero-size slice)
-                tap = emb if a == 3 else jnp.roll(emb, 3 - a, axis=1)
-                row = row + wxs[a] * tap
-            s = s + wys[b] * row
-        acc.append(s)
+        kr = int(abs(k))
+        fdx, fx = _int_frac(k * vx, xcoord, ixc)
+        fdy, fy = _int_frac(k * vy, ycoord, iyc)
+        rows = []
+        for b in range(-kr - 1, kr + 3):
+            trow = taps[b + 3]
+            t = []
+            for i in range(4):
+                a = trow[(-kr + i - 1) + 3]            # fd = -kr
+                for fd in range(-kr + 1, kr + 1):
+                    a = jnp.where(fdx == fd, trow[(fd + i - 1) + 3], a)
+                t.append(a)
+            rows.append(_bicubic_sub(t[0], t[1], t[2], t[3], fx))
+        R = []
+        for j in range(4):
+            r = rows[j]                                # fd = -kr
+            for fd in range(-kr + 1, kr + 1):
+                r = jnp.where(fdy == fd, rows[fd + j + kr], r)
+            R.append(r)
+        acc.append(_bicubic_sub(R[0], R[1], R[2], R[3], fy))
 
     am2, am1, ap1, ap2 = acc
     a0 = em8[3]                         # y offset 0, unshifted
@@ -100,7 +113,7 @@ def _thin_pallas(edge_img, vec, mode: str, slack: float, bh: int):
                                 mode, slack, bh)
             outs.append(part[:, cx - lo:cx - lo + min(cw, w - cx)])
         return jnp.concatenate(outs, axis=1)
-    # the per-k bicubic weight maps dominate the scoped stack
+    # the per-k tap/row maps dominate the scoped stack
     bh = vmem.pick_block_rows("thin", bh, wp, h=h)
     p = pad2d(edge_img, _R, "mirror")                     # (h+8, w+8)
     # slice b holds y offset b-3: p[(b-3)+_R + y] = edge[y + b-3]

@@ -8,20 +8,30 @@ oclimgutil.cl:456-471; bicubic, oclimgutil.cl:65-94).
 On a GPU that is 4 arbitrary 16-tap gathers per pixel.  TPU gathers over a
 1M-pixel image are slow, so this module uses a *gather-free* formulation:
 because |direction| = 1, every sample lands within +-2 px of the center, so
-all 16 bicubic taps of all samples live in a static 8x8 neighborhood
-(offsets -3..+4).  The bicubic value is a linear combination of those taps,
-so we evaluate
+all 16 bicubic taps live in a static 8x8 neighborhood (offsets -3..+4).
+Each of the 4 taps along an axis is SELECTED per pixel from the statically
+shifted copies (a 3- or 5-way jnp.where over the per-pixel integer offset),
+then combined with the reference's exact Horner evaluation (bicubicSub,
+oclimgutil.cl:65-74):
 
-    sample = sum_{a,b in -3..4}  wx_a * wy_b * img[y+b, x+a]
+    v = p1 - p2;  w = p3 - p0
+    u = v*3 + w;  u = u*x + (-4*v + (p0 - p1 - w))
+    u = u*x + (p2 - p0);  u = u*x*0.5 + p1
 
-where the per-pixel weights wx_a place the 4 Catmull-Rom weights at the
-data-dependent integer offset.  64 statically shifted multiply-adds per
-sample, pure VPU, fully fused — zero gathers.
+Evaluating the SAME f32 sequence as the reference (rather than an expanded
+weights-times-taps dot product) matters for parity: on a flat plateau
+bicubicSub returns p1 *exactly*, so the NMS tie `am1 <= a0` keeps ridge
+pixels; a weighted-sum formulation rounds plateaus by +-1 ulp and
+systematically breaks ridges (measured as the round-2 A/B under-detection
+asymmetry, docs/STATUS.md).
 
 Fidelity notes (matching the reference bit-for-bit in structure):
-  * the reference computes ix = (int)x, i.e. truncation toward zero, so the
-    fractional coordinate can be negative near the left/top borders; we use
-    trunc() likewise and let the Catmull-Rom polynomial extrapolate.
+  * the reference computes the sample position as float pos = x + k*vx and
+    ix = (int)pos — truncation toward zero of the f32-ROUNDED absolute
+    position; the fraction is pos - ix.  We reproduce exactly that
+    (including the coordinate-magnitude-dependent rounding of pos), so the
+    fraction can be negative near the left/top borders and the Horner
+    polynomial extrapolates, as in the reference.
   * borders use mirror (reflect-101) just like bicubic()'s mirror() taps.
 """
 
@@ -34,61 +44,65 @@ from rectdetect_tpu.ops.shifts import pad2d, shifted
 _R = 4  # padded radius: tap offsets span [-3, +4]
 
 
-def _catmull_rom_weights(f):
-    """The 4 Catmull-Rom weights at fractional position f (can be <0)."""
-    f2 = f * f
-    f3 = f2 * f
-    w0 = -0.5 * f3 + f2 - 0.5 * f
-    w1 = 1.5 * f3 - 2.5 * f2 + 1.0
-    w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
-    w3 = 0.5 * f3 - 0.5 * f2
-    return (w0, w1, w2, w3)
+def _bicubic_sub(p0, p1, p2, p3, x):
+    """bicubicSub (oclimgutil.cl:65-74), exact op order."""
+    v = p1 - p2
+    w = p3 - p0
+    u = v * 3.0 + w
+    u = u * x + (-4.0 * v + (p0 - p1 - w))
+    u = u * x + (p2 - p0)
+    u = u * x * 0.5 + p1
+    return u
 
 
-def _axis_weights(delta, coord):
-    """Per-pixel weights w_a for tap offsets a in -3..4 along one axis.
+def _int_frac(delta, coord, icoord):
+    """Reference position split: pos = coord + delta in f32, ix = trunc(pos).
 
-    delta: per-pixel sample offset in (-2, 2]; coord: the integer pixel
-    coordinate along this axis.  The reference computes ix = (int)(coord +
-    delta) — truncation of the *absolute* position toward zero — so the
-    integer part of the offset is fd = trunc(coord+delta) - coord, which is
-    floor(delta) when coord+delta >= 0 and ceil(delta) below zero.  Tap a
-    gets Catmull-Rom weight w_i(f) with f = delta - fd, i = a - fd + 1.
+    Returns (fd, f): fd = ix - coord as int32 (the integer tap offset) and
+    f = pos - ix (the Horner fraction, possibly negative below zero).
     """
     pos = coord + delta
-    fd = jnp.where(pos >= 0, jnp.floor(delta), jnp.ceil(delta))
-    f = delta - fd
-    fdi = fd.astype(jnp.int32)
-    cr = _catmull_rom_weights(f)
-    ws = []
-    for a in range(-3, 5):
-        i = a - fdi + 1  # which Catmull-Rom weight lands on tap a
-        w = jnp.zeros_like(delta)
-        for k in range(4):
-            w = jnp.where(i == k, cr[k], w)
-        ws.append(w)
-    return ws
+    ip = jnp.where(pos >= 0, jnp.floor(pos), jnp.ceil(pos))  # trunc, (int)pos
+    return ip.astype(jnp.int32) - icoord, pos - ip
 
 
 def bicubic_sample_along(img, vx, vy, k: float):
     """Bicubic sample of img at (x + k*vx, y + k*vy) for every pixel.
 
-    img, vx, vy: (H, W) float32; |(vx,vy)| <= 1; |k| <= 2.
+    img, vx, vy: (H, W) float32; |(vx,vy)| <= 1; k in {-2,-1,1,2}.
+    Bit-identical to the reference's bicubic() scalar sequence.
     """
     h, w = img.shape[-2], img.shape[-1]
+    kr = max(1, min(2, int(abs(k))))
     p = pad2d(img, _R, "mirror")
     xs = jnp.arange(w, dtype=img.dtype)[None, :]
     ys = jnp.arange(h, dtype=img.dtype)[:, None]
-    wxs = _axis_weights(k * vx, xs)
-    wys = _axis_weights(k * vy, ys)
-    out = jnp.zeros_like(img)
-    for b in range(-3, 5):
-        wy = wys[b + 3]
-        row = jnp.zeros_like(img)
-        for a in range(-3, 5):
-            row = row + wxs[a + 3] * shifted(p, _R, b, a, h, w)
-        out = out + wy * row
-    return out
+    ixs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    iys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    fdx, fx = _int_frac(k * vx, xs, ixs)
+    fdy, fy = _int_frac(k * vy, ys, iys)
+
+    # x-stage: Horner over the 4 selected taps, for every candidate row b.
+    # fd ranges over [-kr, kr]; tap i sits at offset fd + i - 1.
+    offs = list(range(-kr - 1, kr + 3))
+    rows = []
+    for b in offs:
+        taps = [shifted(p, _R, b, o, h, w) for o in offs]
+        t = []
+        for i in range(4):
+            acc = taps[i]                      # fd = -kr
+            for fd in range(-kr + 1, kr + 1):
+                acc = jnp.where(fdx == fd, taps[fd + i + kr], acc)
+            t.append(acc)
+        rows.append(_bicubic_sub(t[0], t[1], t[2], t[3], fx))
+    # y-stage: select the 4 rows at fdy + j - 1, Horner in y.
+    R = []
+    for j in range(4):
+        acc = rows[j]                          # fd = -kr
+        for fd in range(-kr + 1, kr + 1):
+            acc = jnp.where(fdy == fd, rows[fd + j + kr], acc)
+        R.append(acc)
+    return _bicubic_sub(R[0], R[1], R[2], R[3], fy)
 
 
 def _samples(edge_img, vec):
@@ -109,7 +123,7 @@ def thinthres(edge_img, vec):
     edge strength along the ridge), else 0.
 
     On TPU dispatches to the blocked Pallas kernel (ops/pallas_thin.py):
-    the 256 pad/slice stencil reads become in-VMEM lane rolls.
+    the pad/slice stencil reads become in-VMEM lane rolls.
     """
     import jax
 

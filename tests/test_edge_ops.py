@@ -80,29 +80,32 @@ def test_edge_lab_matches_golden(scene):
 
 
 def test_bicubic_sample_matches_golden(scene):
+    """Bit-exact: the build evaluates the reference's bicubicSub Horner
+    sequence on the same f32-rounded absolute positions."""
     lab = _labf(scene)[..., 0]
     vec = G.edgevec(lab).astype(np.float32)
     for k in (-2.0, -1.0, 1.0, 2.0):
         got = np.asarray(T.bicubic_sample_along(
             jnp.asarray(lab), jnp.asarray(vec[..., 0]), jnp.asarray(vec[..., 1]), k))
-        want = np.zeros_like(lab, dtype=np.float64)
+        want = np.zeros_like(lab, dtype=np.float32)
         for y in range(lab.shape[0]):
             for x in range(lab.shape[1]):
-                want[y, x] = G.bicubic(lab, x + k * vec[y, x, 0],
-                                       y + k * vec[y, x, 1])
-        np.testing.assert_allclose(got, want, atol=3e-4)
+                want[y, x] = G.bicubic(lab,
+                                       np.float32(x + k * vec[y, x, 0]),
+                                       np.float32(y + k * vec[y, x, 1]))
+        np.testing.assert_array_equal(got, want)
 
 
 def test_thinthres_matches_golden(scene):
+    """Bit-exact incl. the knife-edge keep predicate (plateau ties resolve
+    exactly like the reference's bicubicSub, which returns p1 exactly on
+    flat input — the round-2 A/B under-detection asymmetry)."""
     lab = _labf(scene)
     e = G.edge_lab(lab).astype(np.float32)
     vec = G.edgevec(lab[..., 0]).astype(np.float32)
     got = np.asarray(T.thinthres(jnp.asarray(e), jnp.asarray(vec)))
-    want = G.thinthres(e, vec)
-    # the keep-predicate is knife-edge at equality; allow a tiny mismatch set
-    mism = np.abs(got - want) > 1e-3
-    assert mism.mean() < 0.01
-    np.testing.assert_allclose(got[~mism], want[~mism], atol=1e-3)
+    want = G.thinthres(e, vec).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_fir_blur_matches_reference_iir_recurrence():
