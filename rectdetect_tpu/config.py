@@ -57,6 +57,16 @@ class PipelineConfig:
     pieces_bh: int = 16
     merge_bh: int = 192
     boundary_bh: int = 256
+    # Block geometry of every other Pallas kernel (defaults = measured
+    # v5e 720p winners); all are profiled and persisted per
+    # device+resolution by tune_kernels alongside the CCL instances, so
+    # the plan.txt analog covers every pallas_call site.
+    grad_bh: int = 32             # edge_front_pallas (fused gradient stage)
+    thin_bh: int = 16             # thinthres/thincubic NMS kernel
+    morph_bh: int = 128           # morph_chain_pallas (all variants)
+    quant_bh: int = 64            # quant_despeckle_pallas
+    bids_bh: int = 64             # distinct_bids_pallas (reduceLS window)
+    blblur_block: int = 128       # blblur_pallas_blocked row block
     labelpl_passes: int = 12      # N, oclpolyline.c:172
     labelpl_jumps: int = 2        # ref 8, oclpolyline.cl:340; see ccl_jumps
     labelmerge_passes: int = 8    # oclrect.c:328

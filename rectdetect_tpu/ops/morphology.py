@@ -165,7 +165,7 @@ def remove_branch(img, x0=0, w_total=None):
 
 
 def strings_chain(edge_bin, variant: str, x0=0, w_total=None,
-                  bridge2: bool = False):
+                  bridge2: bool = False, bh: int = 128):
     """The full edge->strings morphology prefix as one op.
 
     variant "rect": junction -> connect_rect -> stringify x2
@@ -185,7 +185,7 @@ def strings_chain(edge_bin, variant: str, x0=0, w_total=None,
     import jax
     if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_morph import morph_chain_pallas
-        return morph_chain_pallas(edge_bin, variant, x0=x0,
+        return morph_chain_pallas(edge_bin, variant, bh=bh, x0=x0,
                                   w_total=w_total, bridge2=bridge2)
     if variant == "rect":
         c = simple_connect_rect(

@@ -490,7 +490,8 @@ def polyline_execute(edge_binary, minerror: float, size_thre: int,
           if cfg.sparse_factor else None)
 
     strings = morphology.strings_chain(edge_binary, "poly_branch",
-                                       bridge2=cfg.bridge_gap2)
+                                       bridge2=cfg.bridge_gap2,
+                                       bh=cfg.morph_bh)
 
     if sp is not None:
         # runtime slot-capacity switch (same pattern as

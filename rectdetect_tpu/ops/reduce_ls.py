@@ -64,7 +64,8 @@ def _distinct_bids(boundary, k_slots: int):
 
 
 def pair_bbox_table(boundary, lsid_img, nentry: int, k_slots: int = 4,
-                    edge_cap: int | None = None, comp=None):
+                    edge_cap: int | None = None, comp=None,
+                    bids_bh: int = 64):
     """Build the (segment, boundary) -> clip-bbox table (reduceLS,
     oclrect.cl:427-464).
 
@@ -99,7 +100,7 @@ def pair_bbox_table(boundary, lsid_img, nentry: int, k_slots: int = 4,
         # the 49-tap 4-slot window scan as VMEM rolls (bit-exact,
         # ops/pallas_morph.py)
         from rectdetect_tpu.ops.pallas_morph import distinct_bids_pallas
-        slots = distinct_bids_pallas(boundary)
+        slots = distinct_bids_pallas(boundary, bh=bids_bh)
     else:
         slots = _distinct_bids(boundary, k_slots)
     big = jnp.int32(2 ** 30)

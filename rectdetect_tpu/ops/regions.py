@@ -111,7 +111,7 @@ def _blblur_axis(packed, edge, horizontal: bool, x0=0,
 
 
 def blblur(packed, edge, iters: int = 10, x0=0,
-           w_total: int | None = None):
+           w_total: int | None = None, block: int = 128):
     """Edge-limited blur: `iters` rounds of horizontal+vertical passes
     (oclrect.c:286-296).
 
@@ -123,8 +123,8 @@ def blblur(packed, edge, iters: int = 10, x0=0,
     the traced x0 enters the kernel as a coordinate-map input."""
     if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_blblur import blblur_pallas_blocked
-        return blblur_pallas_blocked(packed, edge, iters, x0=x0,
-                                     w_total=w_total)
+        return blblur_pallas_blocked(packed, edge, iters, block=block,
+                                     x0=x0, w_total=w_total)
 
     def body(_, p):
         p = _blblur_axis(p, edge, True, x0, w_total)
@@ -174,14 +174,14 @@ def despeckle(packed, edge_mag):
 
 
 def quantize_despeckle(packed, edge_mag, n0: int = 24, n1: int = 24,
-                       n2: int = 24):
+                       n2: int = 24, bh: int = 64):
     """quantize_packed + despeckle as one op (oclrect.c:300-303).
 
     On TPU this dispatches to the fused Pallas kernel
     (ops/pallas_morph.py), bit-exact vs the composition."""
     if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_morph import quant_despeckle_pallas
-        return quant_despeckle_pallas(packed, edge_mag, n0, n1, n2)
+        return quant_despeckle_pallas(packed, edge_mag, n0, n1, n2, bh=bh)
     return despeckle(quantize_packed(packed, n0, n1, n2), edge_mag)
 
 

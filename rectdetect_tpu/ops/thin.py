@@ -116,32 +116,33 @@ def _samples(edge_img, vec):
     return am2, am1, a0, ap1, ap2
 
 
-def thinthres(edge_img, vec):
+def thinthres(edge_img, vec, bh: int = 16):
     """NMS thinning (thinthres_f_f_f2, oclimgutil.cl:456-471).
 
     Keep pixel if am1 <= a0 >= ap1; output is the 5-sample sum (a smoothed
     edge strength along the ridge), else 0.
 
     On TPU dispatches to the blocked Pallas kernel (ops/pallas_thin.py):
-    the pad/slice stencil reads become in-VMEM lane rolls.
+    the pad/slice stencil reads become in-VMEM lane rolls.  bh: Pallas
+    block rows (cfg.thin_bh, autotuned).
     """
     import jax
 
     if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_thin import thinthres_pallas
-        return thinthres_pallas(edge_img, vec)
+        return thinthres_pallas(edge_img, vec, bh=bh)
     am2, am1, a0, ap1, ap2 = _samples(edge_img, vec)
     keep = (am1 <= a0) & (a0 >= ap1)
     return jnp.where(keep, am2 + am1 + a0 + ap1 + ap2, 0.0)
 
 
-def thincubic(edge_img, vec, slack: float = 0.99):
+def thincubic(edge_img, vec, slack: float = 0.99, bh: int = 16):
     """Slack-variant thinning (thincubic_float_float, oclimgutil.cl:473-491)."""
     import jax
 
     if jax.default_backend() == "tpu":
         from rectdetect_tpu.ops.pallas_thin import thincubic_pallas
-        return thincubic_pallas(edge_img, vec, slack)
+        return thincubic_pallas(edge_img, vec, slack, bh=bh)
     am2, am1, a0, ap1, ap2 = _samples(edge_img, vec)
     keep = ((am2 * slack <= a0) & (am1 * slack <= a0) &
             (a0 >= ap1 * slack) & (a0 >= ap2 * slack))

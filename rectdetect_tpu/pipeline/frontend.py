@@ -45,12 +45,12 @@ def edge_frontend(bgr, cfg: PipelineConfig = DEFAULT_CONFIG) -> EdgeFrontend:
     if jax.default_backend() == "tpu":
         # fused Pallas gradient stage (ops/pallas_grad.py): edgevec +
         # quantize + edge_lab in one VMEM pass
-        em, vec = edge_front_pallas(labb)
+        em, vec = edge_front_pallas(labb, bh=cfg.grad_bh)
     else:
         vec = gradient.edgevec(labb[..., 0])
         # edge operates on the re-packed blurred image (oclrect.c:257)
         labb_q = color.quantize_labf(labb)
         em = gradient.edge_lab(labb_q)
-    edge_thin = thin.thinthres(em, vec)
+    edge_thin = thin.thinthres(em, vec, bh=cfg.thin_bh)
     edge_bin = (edge_thin > 0).astype(jnp.int32)
     return EdgeFrontend(packed0, labb, edge_thin, edge_bin)

@@ -61,7 +61,8 @@ def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
     # reusing polyline_execute's arc compaction when provided
     table = reduce_ls.pair_bbox_table(
         boundary, lsid, nentry,
-        edge_cap=max(4096, iw * ih // cfg.arc_sparse_factor), comp=comp)
+        edge_cap=max(4096, iw * ih // cfg.arc_sparse_factor), comp=comp,
+        bids_bh=cfg.bids_bh)
     _, flat2dense, _, rank = reduce_ls.densify_labels(boundary, bg=-1)
 
     # --- source A: region boundaries (oclrect.c:1064-1171) ---------------
@@ -153,7 +154,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     # as "edges" for the downstream blur.
     with jax.named_scope("edge_labeling"):
         s = morphology.strings_chain(edge_bin, "rect",
-                                     bridge2=cfg.bridge_gap2)
+                                     bridge2=cfg.bridge_gap2,
+                                     bh=cfg.morph_bh)
         scomp = None
         if sp is not None:
             # labels feed only calcStrength/filterStrength -> capped
@@ -192,11 +194,13 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
 
     # edge-limited blur + quantize + despeckle (oclrect.c:286-303)
     with jax.named_scope("region_smoothing"):
-        blurred = regions.blblur(packed0, weak_bin, cfg.blblur_iters)
+        blurred = regions.blblur(packed0, weak_bin, cfg.blblur_iters,
+                                 block=cfg.blblur_block)
         despeck = regions.quantize_despeckle(blurred, edge_thin,
                                              cfg.quantize_levels,
                                              cfg.quantize_levels,
-                                             cfg.quantize_levels)
+                                             cfg.quantize_levels,
+                                             bh=cfg.quant_bh)
 
     # strong edges (oclrect.c:307-312)
     if strong_lbl_f is not None:
@@ -306,7 +310,8 @@ def rect_stage_images(bgr, cfg: PipelineConfig = DEFAULT_CONFIG):
         weak_lbl = ccl.rescue_filtered(lbl, weak_lbl,
                                        cfg.strength_rescue_rounds)
     weak_bin = (weak_lbl > 0).astype(jnp.int32)
-    blurred = regions.blblur(fe.packed0, weak_bin, cfg.blblur_iters)
+    blurred = regions.blblur(fe.packed0, weak_bin, cfg.blblur_iters,
+                             block=cfg.blblur_block)
     quant = regions.quantize_packed(blurred)
     despeck = regions.despeckle(quant, fe.edge_thin)
     strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)

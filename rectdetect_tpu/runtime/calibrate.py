@@ -20,6 +20,7 @@ moral equivalent of loadPlan at app start (rect.cpp:86)."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -210,11 +211,14 @@ def _plan_lookup(dev: str, platform: str, h: int, w: int,
 def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
                  plan_path: str = PLAN_PATH, n_iter: int = 16,
                  time_fn=None) -> PipelineConfig:
-    """Profile the three Pallas block-CCL instances on THIS device and
-    persist the winning block heights — the reference's local-work-size
+    """Profile EVERY Pallas kernel instance on THIS device and persist
+    the winning block geometry — the reference's local-work-size
     autotune (startProfiling/finishProfiling/savePlan,
     oclhelper.c:312-605, driven by rect.cpp:88-98) reduced to the block
-    parameters that matter for this pipeline's kernels.
+    parameters that matter for this pipeline's kernels: the three CCL
+    instances plus the gradient front, NMS thinning, morphology chain,
+    quantize+despeckle, distinct-bid window and blblur kernels (walk and
+    slot capacities are data-dependent, covered by calibrate() instead).
 
     The instances want OPPOSITE block shapes (docs/STATUS.md): the
     PIECES instance (strength labels, block-local by design) floods
@@ -247,6 +251,12 @@ def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
         from rectdetect_tpu.ops.pallas_ccl import (label_components_exact,
                                                    label_components_pieces,
                                                    label_merge_exact)
+        from rectdetect_tpu.ops.pallas_grad import edge_front_pallas
+        from rectdetect_tpu.ops.pallas_thin import thinthres_pallas
+        from rectdetect_tpu.ops.pallas_morph import (morph_chain_pallas,
+                                                     quant_despeckle_pallas,
+                                                     distinct_bids_pallas)
+        from rectdetect_tpu.ops.pallas_blblur import blblur_pallas_blocked
 
         rng = np.random.default_rng(0)
         # pieces tune at noisy strings density (~30%); boundary at the
@@ -258,6 +268,13 @@ def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
         packed = jax.device_put(jnp.asarray(
             rng.integers(0, 2 ** 22, (h, w), dtype=np.int32)))
         zero = jax.device_put(jnp.zeros((h, w), jnp.int32))
+        labb = jax.device_put(jnp.asarray(
+            rng.random((h, w, 3), np.float32)))
+        emag = jax.device_put(jnp.asarray(
+            rng.random((h, w), np.float32)))
+        th = rng.uniform(0, 2 * np.pi, (h, w)).astype(np.float32)
+        vec = jax.device_put(jnp.stack(
+            [jnp.asarray(np.cos(th)), jnp.asarray(np.sin(th))], -1))
         np.asarray(noisy)[:1]
 
         def runner(make):
@@ -282,16 +299,34 @@ def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
                 lambda bh: label_components_exact(
                     strip, -1, bh=bh,
                     round_cap=cfg.boundary_ccl_round_cap))),
+            "grad_bh": ((16, 32, 64, 128), runner(
+                lambda bh: edge_front_pallas(labb, bh=bh)[0])),
+            "thin_bh": ((8, 16, 32, 64), runner(
+                lambda bh: thinthres_pallas(emag, vec, bh=bh))),
+            "morph_bh": ((64, 128, 192, 256), runner(
+                lambda bh: morph_chain_pallas(noisy, "rect", bh=bh))),
+            "quant_bh": ((32, 64, 128), runner(
+                lambda bh: quant_despeckle_pallas(packed, emag, bh=bh))),
+            "bids_bh": ((32, 64, 128), runner(
+                lambda bh: distinct_bids_pallas(strip, bh=bh)[0])),
+            "blblur_block": ((64, 128, 256), runner(
+                lambda b: blblur_pallas_blocked(packed, noisy, 10,
+                                                block=b))),
         }
     else:
-        kinds = {
-            "pieces_bh": ((8, 16, 32, 64),
-                          lambda bh: time_fn("pieces_bh", bh)),
-            "merge_bh": ((96, 192, 256),
-                         lambda bh: time_fn("merge_bh", bh)),
-            "boundary_bh": ((96, 192, 256),
-                            lambda bh: time_fn("boundary_bh", bh)),
+        _cands = {
+            "pieces_bh": (8, 16, 32, 64),
+            "merge_bh": (96, 192, 256),
+            "boundary_bh": (96, 192, 256),
+            "grad_bh": (16, 32, 64, 128),
+            "thin_bh": (8, 16, 32, 64),
+            "morph_bh": (64, 128, 192, 256),
+            "quant_bh": (32, 64, 128),
+            "bids_bh": (32, 64, 128),
+            "blblur_block": (64, 128, 256),
         }
+        kinds = {k: (c, functools.partial(time_fn, k))
+                 for k, c in _cands.items()}
 
     winners = {}
     for kind, (candidates, fn) in kinds.items():
@@ -389,6 +424,12 @@ def load_calibrated_config(h: int, w: int,
         pieces_bh=int(entries.get("pieces_bh", cfg.pieces_bh)),
         merge_bh=int(entries.get("merge_bh", cfg.merge_bh)),
         boundary_bh=int(entries.get("boundary_bh", cfg.boundary_bh)),
+        grad_bh=int(entries.get("grad_bh", cfg.grad_bh)),
+        thin_bh=int(entries.get("thin_bh", cfg.thin_bh)),
+        morph_bh=int(entries.get("morph_bh", cfg.morph_bh)),
+        quant_bh=int(entries.get("quant_bh", cfg.quant_bh)),
+        bids_bh=int(entries.get("bids_bh", cfg.bids_bh)),
+        blblur_block=int(entries.get("blblur_block", cfg.blblur_block)),
     )
 
 

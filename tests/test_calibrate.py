@@ -72,11 +72,23 @@ def test_tune_kernels_persist_and_apply(tmp_path):
              ("merge_bh", 256): 2.0,
              ("boundary_bh", 96): 3.0, ("boundary_bh", 192): 2.0,
              ("boundary_bh", 256): 1.0}
+
+    def fake_time(kind, bh):
+        # non-CCL kernels: make 64 the winner everywhere it's a candidate
+        return times.get((kind, bh), 1.0 if bh == 64 else 2.0)
+
     cfg = calibrate.tune_kernels(24, 32, plan_path=plan,
-                                 time_fn=lambda k, bh: times[(k, bh)])
+                                 time_fn=fake_time)
     assert cfg.pieces_bh == 16
     assert cfg.merge_bh == 192
     assert cfg.boundary_bh == 256
+    # breadth: every other Pallas kernel knob is tuned + applied too
+    assert cfg.grad_bh == 64
+    assert cfg.thin_bh == 64
+    assert cfg.morph_bh == 64
+    assert cfg.quant_bh == 64
+    assert cfg.bids_bh == 64
+    assert cfg.blblur_block == 64
 
     dev = jax.devices()[0].device_kind
     from rectdetect_tpu.runtime import native
@@ -91,7 +103,7 @@ def test_tune_kernels_persist_and_apply(tmp_path):
     def flaky(kind, bh):
         if (kind, bh) == ("merge_bh", 192):
             raise RuntimeError("VMEM")
-        return times[(kind, bh)]
+        return fake_time(kind, bh)
     cfg2 = calibrate.tune_kernels(24, 32, plan_path=plan, time_fn=flaky)
     assert cfg2.merge_bh == 256
 
