@@ -151,6 +151,17 @@ def make_scene(photos, seed, w=448, h=336):
     ImageDraw.Draw(mask).polygon([tuple(p) for p in quad], fill=255)
     mask = mask.filter(ImageFilter.GaussianBlur(0.5))   # soft edge like optics
     scene.paste(warped, (0, 0), mask)
+    if seed % 2 == 0:
+        # half the composites get a bezel (screens, framed photos,
+        # signs all have one; the borderless half is the hard tail —
+        # content pasted straight onto photo background)
+        dark = rng.random() < 0.7
+        c = int(rng.integers(10, 55)) if dark else int(
+            rng.integers(200, 250))
+        bez = ImageDraw.Draw(scene)
+        pts = [tuple(p) for p in quad] + [tuple(quad[0])]
+        bez.line(pts, fill=(c, c, c), width=int(rng.integers(2, 5)),
+                 joint="curve")
 
     # camera pipeline artifacts: slight blur, JPEG, sensor noise
     if rng.random() < 0.5:
