@@ -89,8 +89,12 @@ def main(argv=None) -> int:
     # loadPlan analog (rect.cpp:86 / vidrect.cpp:125): apply persisted
     # per-device calibration if present
     from rectdetect_tpu.config import DEFAULT_CONFIG, EXTENDED_CONFIG
+    # batch serving pins the runtime capacity switches (a vmapped
+    # lax.cond predicate would execute both branches — measured 3x
+    # slower; see load_calibrated_config)
     cfg = load_calibrated_config(
-        ih, iw, cfg=EXTENDED_CONFIG if extended else DEFAULT_CONFIG)
+        ih, iw, cfg=EXTENDED_CONFIG if extended else DEFAULT_CONFIG,
+        batch=batch > 1)
     if tiles > 1 and (streams > 1 or batch > 1):
         sys.exit("--tiles cannot be combined with --streams/--batch")
     if trace_dir and (streams > 1 or batch > 1):

@@ -163,8 +163,17 @@ class PipelineConfig:
     cycle_sparse_factor: int = 24
     # mkpl/refine run after the arc size filter (> sizeThre px), which
     # kills nearly all noise arcs: measured 0.32% density on a 30%-noise
-    # 720p frame.  /48 (~2%) keeps a >5x margin at a ~20x cost saving.
-    arc_sparse_factor: int = 48
+    # 720p frame but 3.5% on a real textured photograph (the size filter
+    # keeps long structure chains).  The DEFAULT is sized for robustness
+    # at /12 (~8.3%) — real photos measured <=4.6% strong density, which
+    # bounds arcs from above; calibrated plans tighten it per scene
+    # class (factor_for(arcs_d)), and plan_fits probes the strong
+    # density against this cap so stale plans recalibrate rather than
+    # silently truncate (round-3 photo-corpus finding: /48 dropped 60%
+    # of grace_hopper's segments at the 4096 floor).  The runtime
+    # small-branch switch keeps the fast path on sparse scenes either
+    # way.
+    arc_sparse_factor: int = 12
     # small-capacity branch of the runtime arc switch in the polyline
     # tail: when the post-filter arc pixels fit n//arc_small_factor,
     # mkpl/refine's 15 iterations of slot gathers and arena scatters run

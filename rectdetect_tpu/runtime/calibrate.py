@@ -49,6 +49,17 @@ def _densities(bgr_frames, cfg: PipelineConfig):
         from rectdetect_tpu.ops.compact import compact_mask
         st = prect.rect_stage_images(bgr, dense_cfg)
         boundary_d = jnp.mean((st["boundary"] >= 0).astype(jnp.float32))
+        # hypothesis-group demand: distinct boundary components (labels
+        # are min flat indices, so components == root pixels).  The
+        # reference's group list is dynamic (ArrayMap); the static
+        # max_groups cap must cover the scene class or whole regions
+        # (and their quads) silently drop out of hypothesis generation
+        # (round-3 photo-corpus finding: 466 groups on a textured photo
+        # vs the 192 default).
+        bflat = st["boundary"].reshape(-1)
+        hw2 = bflat.shape[0]
+        groups_n = jnp.sum(((bflat == jnp.arange(hw2, dtype=bflat.dtype))
+                            & (bflat >= 0)).astype(jnp.int32))
         arcs_d = jnp.mean((st["lsid"] > 0).astype(jnp.float32))
         n_arcs = jnp.max(st["lsid"])
         edge_d = jnp.mean((st["edge_thin"] > 0).astype(jnp.float32))
@@ -81,13 +92,13 @@ def _densities(bgr_frames, cfg: PipelineConfig):
              (seg_pre[:, 1:] != seg_pre[:, :-1]).astype(jnp.float32)],
             axis=1))
         return (edge_d, rect_strings_d, strings_d, boundary_d, arcs_d,
-                n_arcs, cyc_d, runs_d)
+                n_arcs, cyc_d, runs_d, groups_n)
 
     edge_d = rect_d = strings_d = boundary_d = arcs_d = cyc_d = 0.0
     runs_d = 0.0
-    arcs = 0
+    arcs = groups = 0
     for f in bgr_frames:
-        e, rs, s, b, a, n, c, rd = stats(f)
+        e, rs, s, b, a, n, c, rd, g = stats(f)
         edge_d = max(edge_d, float(e))
         rect_d = max(rect_d, float(rs))
         strings_d = max(strings_d, float(s))
@@ -96,8 +107,9 @@ def _densities(bgr_frames, cfg: PipelineConfig):
         arcs = max(arcs, int(n))
         cyc_d = max(cyc_d, float(c))
         runs_d = max(runs_d, float(rd))
+        groups = max(groups, int(g))
     return (edge_d, rect_d, strings_d, boundary_d, arcs_d, arcs, cyc_d,
-            runs_d)
+            runs_d, groups)
 
 
 def _key(device_kind: str, h: int, w: int) -> str:
@@ -116,7 +128,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     import jax
     h, w = np.asarray(bgr_frames[0]).shape[:2]
     (edge_d, rect_d, strings_d, boundary_d, arcs_d, arcs,
-     cyc_d, runs_d) = _densities(bgr_frames, cfg)
+     cyc_d, runs_d, groups) = _densities(bgr_frames, cfg)
 
     def factor_for(density, cap=64):
         d = min(max(density * MARGIN, 1e-4), 1.0)
@@ -139,6 +151,11 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
             512, int(1.0 / min(max(arcs_d * 1.5, 1e-4), 1.0)))),
         cycle_sparse_factor=factor_for(cyc_d, cap=256),
         ls_capacity=int(min(max(arcs * 4 * MARGIN, 4096), 262144)),
+        # the reference's group list is dynamic; cover the measured
+        # boundary-component demand (rounded to 64, capped for the
+        # (G+1, arena cap) membership matrices' memory)
+        max_groups=int(min(2048, max(cfg.max_groups,
+                                     -(-int(groups * MARGIN) // 64) * 64))),
     )
     # batched-mode branch pin for the run-length despeckle2: the cond's
     # predicate is nruns <= H*W//region_run_factor; pin run-length when
@@ -155,6 +172,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         "arc_small_factor": str(new.arc_small_factor),
         "cycle_sparse_factor": str(new.cycle_sparse_factor),
         "ls_capacity": str(new.ls_capacity),
+        "max_groups": str(new.max_groups),
         "pin_region_runs": str(pin_runs),
     })
     return new
@@ -167,25 +185,41 @@ def plan_fits(cfg: PipelineConfig, bgr, headroom: float = 1.1) -> bool:
     A capacity plan calibrated on one scene class can silently truncate
     a much denser one (a clean-scene plan on a noisy frame drops most of
     the edge map and detections collapse — measured, not hypothetical).
-    This checks only the CHEAP densities (thinned edges + both string
-    variants: one front-end + morphology pass, no labeling), which are
-    the caps that fail first and correlate with the rest; callers
-    recalibrate when it returns False (apps.rect) or warn (vidrect)."""
+    This checks the string densities (front-end + morphology) AND the
+    strong-strings density: post-size-filter arc pixels are a SUBSET of
+    the strong strings, so the strong density bounds the arc-compaction
+    demand from above (round-3 photo-corpus finding: a textured photo's
+    arcs overflowed max(4096, n//arc_sparse_factor) while every string
+    cap fit, silently dropping 60% of segments).  Callers recalibrate
+    when it returns False (apps.rect) or warn (vidrect)."""
     import jax.numpy as jnp
-    from rectdetect_tpu.ops import morphology
+    from rectdetect_tpu.ops import ccl, morphology
     from rectdetect_tpu.pipeline.frontend import edge_frontend
 
     if not cfg.sparse_factor:
         return True                       # dense mode has no caps
     fe = edge_frontend(jnp.asarray(bgr), cfg)
     srect = morphology.strings_chain(fe.edge_bin, "rect",
-                                     bridge2=cfg.bridge_gap2)
+                                     bridge2=cfg.bridge_gap2,
+                                     bh=cfg.morph_bh)
     spoly = morphology.strings_chain(fe.edge_bin, "poly_branch",
-                                     bridge2=cfg.bridge_gap2)
+                                     bridge2=cfg.bridge_gap2,
+                                     bh=cfg.morph_bh)
     rect_d = float(jnp.mean((srect != 0).astype(jnp.float32)))
     poly_d = float(jnp.mean((spoly != 0).astype(jnp.float32)))
+    # strong density via the uncapped exact CCL (probe-only; the probe
+    # must not itself truncate)
+    lbl = ccl.label_components(srect, 0, cfg.ccl_passes, cfg.ccl_jumps,
+                               bh=cfg.ccl_bh or None)
+    st = ccl.calc_strength(fe.edge_thin, lbl, cfg.strength_scale)
+    weak = ccl.filter_strength(lbl, st, cfg.strength_weak)
+    strong = ccl.filter_strength(weak, st, cfg.strength_strong)
+    strong_d = float(jnp.mean((strong > 0).astype(jnp.float32)))
+    h, w = srect.shape
+    arc_cap_d = max(4096, h * w // cfg.arc_sparse_factor) / (h * w)
     return (rect_d * headroom <= 1.0 / cfg.sparse_factor and
-            poly_d * headroom <= 1.0 / cfg.strings_sparse_factor)
+            poly_d * headroom <= 1.0 / cfg.strings_sparse_factor and
+            strong_d * headroom <= arc_cap_d)
 
 
 def _plan_lookup(dev: str, platform: str, h: int, w: int,
@@ -420,6 +454,7 @@ def load_calibrated_config(h: int, w: int,
         cycle_sparse_factor=int(entries.get("cycle_sparse_factor",
                                             cfg.cycle_sparse_factor)),
         ls_capacity=int(entries.get("ls_capacity", cfg.ls_capacity)),
+        max_groups=int(entries.get("max_groups", cfg.max_groups)),
         ccl_bh=int(entries.get("ccl_bh", cfg.ccl_bh)),
         pieces_bh=int(entries.get("pieces_bh", cfg.pieces_bh)),
         merge_bh=int(entries.get("merge_bh", cfg.merge_bh)),

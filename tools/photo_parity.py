@@ -29,12 +29,16 @@ TOL = 3.0   # photographic edges localize a bit looser than clean renders
 def one_image(args):
     path, gt_corners, tol = args
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    import dataclasses
+    import tempfile
+
     import jax
     jax.config.update("jax_platforms", "cpu")
     from PIL import Image
     import golden.rect as grect
     from rectdetect_tpu.config import DEFAULT_CONFIG
     from rectdetect_tpu.pipeline.rect import rect_frame, live_rects
+    from rectdetect_tpu.runtime.calibrate import calibrate
 
     rgb = np.asarray(Image.open(path).convert("RGB"))
     bgr = rgb[:, :, ::-1].copy()
@@ -42,7 +46,19 @@ def one_image(args):
     a_rects = grect.rect_frame(bgr, TAN)
     a_set = dedupe([r["c2"] for r in a_rects])
     import jax.numpy as jnp
-    res = rect_frame(jnp.asarray(bgr), TAN, DEFAULT_CONFIG)
+    # production behavior (apps.rect): no plan exists for this
+    # resolution -> calibrate capacities on the image itself (the
+    # reference allocates dynamically; calibration is the static-shape
+    # equivalent, and the photo corpus is exactly the scene class whose
+    # group/arc demand the synthetic defaults under-cover)
+    with tempfile.TemporaryDirectory() as td:
+        cfg = calibrate([jnp.asarray(bgr)],
+                        plan_path=os.path.join(td, "plan.txt"))
+    # the proxy computes the reference's fixed-point LUT color path;
+    # compare like with like (the float default is the documented
+    # speed deviation, A/B'd on the synthetic set)
+    cfg = dataclasses.replace(cfg, color_exact=True)
+    res = rect_frame(jnp.asarray(bgr), TAN, cfg)
     b_set = dedupe([r["c2"] for r in live_rects(res)])
 
     n_ab, a_only, b_only = match_sets(a_set, b_set, tol)
