@@ -19,8 +19,13 @@ Variants (all on (h, w) int32 inputs, same BlockSpec as production):
   whilescan while_loop of the 4 segmented scans (no neighbor mins)
   rolls     log2(w)+log2(bh) plain jnp.roll+min chain (no masks, no loop)
 
-Usage: python tools/mosaic_fault_repro.py [--run]   (default prints plan)
-       python tools/mosaic_fault_repro.py --child VARIANT BH W   (internal)
+Usage: python tools/mosaic_fault_repro.py [--run] [--full4k]
+       python tools/mosaic_fault_repro.py --child VARIANT BH W [H] (internal)
+
+--full4k appends the production path (label_merge_exact: flood + seam
+union + reseeded second flood) at the true 2160x3840 frame size —
+variant "prod" — plus the raw flood at full height, in case the fault
+needs the real grid/HBM footprint rather than the kernel body.
 """
 
 from __future__ import annotations
@@ -36,6 +41,46 @@ H = 260                      # a few blocks at every candidate bh
 WS = (3840, 1920)
 BHS = (96, 112, 128)
 VARIANTS = ("full", "noscan", "scanonly", "whilescan", "rolls")
+
+
+def _child_prod(bh: int, w: int, h: int, stage: str = "prod") -> int:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from rectdetect_tpu.ops import pallas_ccl
+
+    rng = np.random.default_rng(0)
+    packed = jnp.asarray(rng.integers(0, 2 ** 22, (h, w), dtype=np.int32))
+    zero = jnp.zeros((h, w), jnp.int32)
+    # bypass _clamp_bh: drive _run_links_blocks via label_merge_exact's
+    # own plumbing but with the clamp disabled
+    orig = pallas_ccl._clamp_bh
+    pallas_ccl._clamp_bh = lambda b, hh, ww: b
+    try:
+        if stage == "prod":
+            out = pallas_ccl.label_merge_exact(packed, zero, zero, bh=bh)
+        else:
+            # label_links_blocked truncated after seam union + resolve
+            # (no reseeded second flood)
+            lh = jnp.asarray((rng.random((h, w)) < 0.5).astype(np.int32))
+            lv = jnp.asarray((rng.random((h, w)) < 0.5).astype(np.int32))
+
+            @jax.jit
+            def noreseed(lh, lv):
+                lbl = pallas_ccl._run_links_blocks(lh, lv, None, bh=bh,
+                                                   interpret=False)
+                t = pallas_ccl._links_seam_union(lv, lbl, bh=bh)
+                rows = list(range(bh - 1, h - 1, bh))
+                seam_rows = rows + [r + 1 for r in rows]
+                sv = jnp.stack([lbl[r] for r in seam_rows])
+                return pallas_ccl._resolve(t, sv)
+
+            out = noreseed(lh, lv)
+        v = int(np.asarray(out).ravel()[0])
+    finally:
+        pallas_ccl._clamp_bh = orig
+    print(f"ok variant={stage} bh={bh} w={w} h={h} out0={v}")
+    return 0
 
 
 def _child(variant: str, bh: int, w: int) -> int:
@@ -150,11 +195,13 @@ def _child(variant: str, bh: int, w: int) -> int:
     nb = pl.cdiv(h, bh)
     spec = pl.BlockSpec((bh, w), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    if variant == "full":
+    if variant in ("full", "fullseed"):
         kern = functools.partial(_links_block_kernel, h=h, w=w, bh=bh,
-                                 seeded=False)
+                                 seeded=variant == "fullseed")
     else:
         kern = functools.partial(reduced_kernel, mode=variant)
+    seed = (jnp.asarray(rng.integers(0, h * w, (h, w), dtype=np.int32))
+            if variant == "fullseed" else lh)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
@@ -163,7 +210,7 @@ def _child(variant: str, bh: int, w: int) -> int:
         out_specs=spec,
         interpret=jax.default_backend() != "tpu",
         compiler_params=vmem.compiler_params(),
-    )(lh, lv, lh)
+    )(lh, lv, seed)
     v = int(np.asarray(out)[0, 0])
     print(f"ok variant={variant} bh={bh} w={w} out00={v}")
     return 0
@@ -172,31 +219,45 @@ def _child(variant: str, bh: int, w: int) -> int:
 def main(argv) -> int:
     if "--child" in argv:
         i = argv.index("--child")
-        return _child(argv[i + 1], int(argv[i + 2]), int(argv[i + 3]))
+        variant = argv[i + 1]
+        bh, w = int(argv[i + 2]), int(argv[i + 3])
+        if variant in ("prod", "noreseed"):
+            return _child_prod(bh, w, int(argv[i + 4]), variant)
+        if len(argv) > i + 4:
+            global H
+            H = int(argv[i + 4])
+        return _child(variant, bh, w)
     run = "--run" in argv
+    cases = [(v, bh, w, None) for w in WS for bh in BHS for v in VARIANTS]
+    if "--full4k" in argv:
+        cases = ([("prod", bh, 3840, 2160) for bh in (96, 112, 128)] +
+                 [("full", bh, 3840, 2160) for bh in (112, 128)] +
+                 [("fullseed", 112, 3840, 2160)])
     results = []
-    for w in WS:
-        for bh in BHS:
-            for variant in VARIANTS:
-                if not run:
-                    print(f"plan: {variant} bh={bh} w={w}")
-                    continue
-                try:
-                    p = subprocess.run(
-                        [sys.executable, os.path.abspath(__file__),
-                         "--child", variant, str(bh), str(w)],
-                        capture_output=True, text=True, timeout=420)
-                    ok = p.returncode == 0
-                    note = "" if ok else (p.stderr.strip()[-200:] or
-                                          f"rc={p.returncode}")
-                except subprocess.TimeoutExpired:
-                    ok, note = False, "timeout"
-                results.append({"variant": variant, "bh": bh, "w": w,
-                                "ok": ok, "note": note})
-                print(json.dumps(results[-1]), flush=True)
+    for variant, bh, w, h in cases:
+        if not run:
+            print(f"plan: {variant} bh={bh} w={w} h={h or H}")
+            continue
+        args = [sys.executable, os.path.abspath(__file__),
+                "--child", variant, str(bh), str(w)]
+        if h is not None:
+            args.append(str(h))
+        try:
+            p = subprocess.run(args, capture_output=True, text=True,
+                               timeout=420)
+            ok = p.returncode == 0
+            note = "" if ok else (p.stderr.strip()[-200:] or
+                                  f"rc={p.returncode}")
+        except subprocess.TimeoutExpired:
+            ok, note = False, "timeout"
+        results.append({"variant": variant, "bh": bh, "w": w,
+                        "h": h or H, "ok": ok, "note": note})
+        print(json.dumps(results[-1]), flush=True)
     if run:
+        suffix = "_4k" if "--full4k" in argv else ""
         with open(os.path.join(os.path.dirname(__file__), "..", "docs",
-                               "mosaic_fault_repro.json"), "w") as f:
+                               f"mosaic_fault_repro{suffix}.json"),
+                  "w") as f:
             json.dump(results, f, indent=1)
     return 0
 
