@@ -82,8 +82,11 @@ class PipelineConfig:
     # the bench scene (-6.5 ms vs a tight cap whose runtime overflow
     # check falls back to full-table rounds).  Overflow falls back via
     # lax.cond — always exact.  walk_tail_factor=0 disables.
-    walk_tail_switch: int = 4
-    walk_tail_factor: int = 3
+    # (measured sweep, round 3: switch 3 + factor 4 beat the round-2
+    # defaults 22.3 -> 19.2 ms on the bench scene; factor2=32 variants
+    # overflow and fall back, much slower)
+    walk_tail_switch: int = 3
+    walk_tail_factor: int = 4
     # Second tail stage: after walk_tail_rounds2 more rounds at the
     # first cap (reach 2^(switch+rounds2)), the survivors are
     # re-compacted to 2S//walk_tail_factor2 — only states further than

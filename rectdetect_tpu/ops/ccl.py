@@ -248,6 +248,16 @@ def strength_filter_pair(edge_img, label, comp, thre_weak: int,
     only kill interior pixels by the same per-component predicate, and
     thre_strong >= thre_weak means the strong kill set contains the weak
     one.)
+
+    The per-component sums run SORT-SEGMENTED instead of scatter-add +
+    random gather: slots kv-sort by label (measured cheaper than one
+    random gather at these row counts, tools/prim_bench.py), the
+    component total falls out of run-boundary cumsum differences —
+    i32 adds are order-independent, so the result is bit-identical —
+    and each slot reads its total in place with zero random access.
+    The (n+1,) strength table in the return value is materialized by a
+    separate scatter-add that XLA dead-code-eliminates when the caller
+    ignores it (the fused pipeline path does).
     """
     h, w = edge_img.shape
     n = h * w
@@ -263,19 +273,44 @@ def strength_filter_pair(edge_img, label, comp, thre_weak: int,
     xx = p % w
     inter = (yy >= 1) & (yy < h - 1) & (xx >= 1) & (xx < w - 1)
     ok = live & inter & (lbl_s > 0)
-    tgt = jnp.where(ok, lbl_s, n)
-    st = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(
-        jnp.where(ok, val_s, 0), mode="drop")[:n]
-    st_s = st[jnp.clip(lbl_s, 0, n - 1)]           # one (S,) gather
+    live2 = live & (lbl_s > 0)
+
+    # sort by label; border slots participate (they read their
+    # component's total) but contribute 0 (the reference sums interior
+    # pixels only, oclimgutil.cl:641-649)
+    key = jnp.where(live2, lbl_s, n)
+    contrib = jnp.where(ok, val_s, 0)
+    skey, sval, sp, slbl = jax.lax.sort(
+        (key, contrib, p, lbl_s), num_keys=1)
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    last = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones((1,), bool)])
+    csum = jnp.cumsum(sval)
+    pre = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
+    # base_i = csum just before this run's first element; csum is
+    # nondecreasing (contrib >= 0), so a running max of `pre` frozen at
+    # run firsts forward-fills it
+    base_c = jax.lax.cummax(jnp.where(first, pre, 0))
+    # end_i = csum at this run's last element: reverse running min of
+    # csum frozen at run lasts
+    big = jnp.iinfo(jnp.int32).max
+    end_c = jax.lax.cummin(jnp.where(last, csum, big), reverse=True)
+    st_sorted = end_c - base_c                     # component total/slot
 
     inter_full = _interior_mask(h, w, 1)
     base = jnp.where(inter_full, -1, label).reshape(-1)
     base = jnp.concatenate([base, jnp.zeros((1,), base.dtype)])
+    s_live = skey < n
 
     def filt(thre):
-        keep = live & (lbl_s > 0) & (st_s >= thre)
-        out = base.at[jnp.where(keep, p, n)].set(lbl_s, mode="drop")[:n]
+        keep = s_live & (st_sorted >= thre)
+        out = base.at[jnp.where(keep, sp, n)].set(slbl, mode="drop")[:n]
         return out.reshape(h, w)
+
+    # (n+1,) table for callers that consume it (dead code under the
+    # fused pipeline jit)
+    tgt = jnp.where(ok, lbl_s, n)
+    st = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(
+        jnp.where(ok, val_s, 0), mode="drop")[:n]
 
     return filt(thre_weak), filt(thre_strong), st
 

@@ -186,35 +186,56 @@ def test_pair_bbox_table_matches_golden_reduce_ls():
     assert len(extra) == 0
 
 
+_PINNED_SCRIPT = r"""
+import dataclasses, math
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from rectdetect_tpu.config import DEFAULT_CONFIG
+from rectdetect_tpu.pipeline import rect as prect
+
+r = np.random.default_rng(9)
+bgr = np.full((120, 160, 3), 70, np.uint8)
+bgr[22:80, 30:120] = (180, 160, 60)
+bgr = (bgr.astype(np.int16)
+       + r.integers(-3, 4, bgr.shape, dtype=np.int16)).clip(
+           0, 255).astype(np.uint8)
+tan = math.tan(math.radians(72) / 2)
+want = prect.rect_frame(jnp.asarray(bgr), tan, DEFAULT_CONFIG)
+pinned = dataclasses.replace(
+    DEFAULT_CONFIG, pin_strings_branch=1, pin_arc_branch=1,
+    pin_region_runs=1, pin_walk_tail=1)
+got = prect.rect_frame(jnp.asarray(bgr), tan, pinned)
+for f in want._fields:
+    np.testing.assert_array_equal(
+        np.asarray(getattr(want, f)), np.asarray(getattr(got, f)),
+        err_msg=f)
+pinned2 = dataclasses.replace(pinned, pin_walk_tail=2)
+got2 = prect.rect_frame(jnp.asarray(bgr), tan, pinned2)
+for f in want._fields:
+    np.testing.assert_array_equal(
+        np.asarray(getattr(want, f)), np.asarray(getattr(got2, f)),
+        err_msg=f)
+print("PINNED_OK")
+"""
+
+
 def test_pinned_branches_match_cond_branches():
     """Branch pinning for batched mode (pin_* config fields) must
     reproduce the runtime-cond results exactly when the capacities fit
-    (the cond would pick the same branch)."""
-    import dataclasses
-    import math
-    from rectdetect_tpu.config import DEFAULT_CONFIG
-    from rectdetect_tpu.pipeline import rect as prect
+    (the cond would pick the same branch).  Runs in a fresh subprocess:
+    its three full-pipeline compiles would otherwise push an xdist
+    worker over the XLA:CPU accumulated-compile segfault threshold
+    (CLAUDE.md)."""
+    import os
+    import subprocess
+    import sys
 
-    r = np.random.default_rng(9)
-    bgr = np.full((120, 160, 3), 70, np.uint8)
-    bgr[22:80, 30:120] = (180, 160, 60)
-    bgr = (bgr.astype(np.int16)
-           + r.integers(-3, 4, bgr.shape, dtype=np.int16)).clip(
-               0, 255).astype(np.uint8)
-    tan = math.tan(math.radians(72) / 2)
-    want = prect.rect_frame(jnp.asarray(bgr), tan, DEFAULT_CONFIG)
-    pinned = dataclasses.replace(
-        DEFAULT_CONFIG, pin_strings_branch=1, pin_arc_branch=1,
-        pin_region_runs=1, pin_walk_tail=1)
-    got = prect.rect_frame(jnp.asarray(bgr), tan, pinned)
-    for f in want._fields:
-        np.testing.assert_array_equal(
-            np.asarray(getattr(want, f)), np.asarray(getattr(got, f)),
-            err_msg=f)
-    # pin_walk_tail=2 (full-table rounds) is the other exact pin
-    pinned2 = dataclasses.replace(pinned, pin_walk_tail=2)
-    got2 = prect.rect_frame(jnp.asarray(bgr), tan, pinned2)
-    for f in want._fields:
-        np.testing.assert_array_equal(
-            np.asarray(getattr(want, f)), np.asarray(getattr(got2, f)),
-            err_msg=f)
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run(
+        [sys.executable, "-c", _PINNED_SCRIPT],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env, capture_output=True, text=True, timeout=1500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PINNED_OK" in out.stdout
