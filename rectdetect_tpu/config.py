@@ -87,6 +87,17 @@ class PipelineConfig:
     # overflow and fall back, much slower)
     walk_tail_switch: int = 3
     walk_tail_factor: int = 4
+    # Small-component pre-kill before the walk (polyline tail): an
+    # 8-connected strings component of <= size_thre px can never yield
+    # a kept arc (walk chains are subsets of components, and the arc
+    # size filter needs chain length - 1 > size_thre), so those slots
+    # are dropped BEFORE the walk and the dominant doubling gathers run
+    # at the survivor capacity n//walk_prefilter_factor.  Detection is
+    # exact without converged CCL: capped block-local pieces + a
+    # closure test (see polyline._small_component_kill).  A runtime
+    # cond falls back to the unfiltered walk when survivors overflow.
+    # 0 disables.
+    walk_prefilter_factor: int = 24
     # Second tail stage: after walk_tail_rounds2 more rounds at the
     # first cap (reach 2^(switch+rounds2)), the survivors are
     # re-compacted to 2S//walk_tail_factor2 — only states further than
@@ -217,6 +228,7 @@ class PipelineConfig:
     pin_arc_branch: int = 0
     pin_walk_tail: int = 0
     pin_region_runs: int = 0
+    pin_walk_prefilter: int = 0
 
     def ls_cap_for(self, iw: int, ih: int) -> int:
         """Arena capacity: min(config cap, reference's byte budget iw*ih*4*4/56)."""

@@ -558,6 +558,71 @@ def _polyline_tail(strings, sp: int | None, minerror: float,
     return arena, lsid, None
 
 
+def _small_component_kill(strings, comp0, size_thre: int,
+                          cfg: PipelineConfig):
+    """keep_slots (S,) bool: False where the slot's entire 8-connected
+    strings component provably has <= size_thre pixels.
+
+    Such components can never yield a kept arc: every walk chain is a
+    subset of its component (including broken cycles and the border-
+    split deviation), and the arc size filter requires chain length - 1
+    > size_thre (polyline tail `keep`).  Dropping them BEFORE the walk
+    shrinks the dominant doubling-gather row count to the survivor
+    capacity.
+
+    Exact without a converged CCL: a capped block-local pieces flood
+    (pallas_ccl.label_components_pieces) + a CLOSURE test — a piece is
+    a whole component iff every foreground 8-neighbor of every piece
+    pixel carries the same piece label (seam-straddling or unconverged
+    pieces have a mismatched-label neighbor and are conservatively
+    kept).  Size and closure reduce per piece with the same
+    sort-segmented pattern as ccl.strength_filter_pair.
+    """
+    from jax import lax
+
+    from rectdetect_tpu.ops.pallas_ccl import label_components_pieces
+    from rectdetect_tpu.ops.shifts import NEIGH8, pad2d, shifted
+
+    h, w = strings.shape
+    n = h * w
+    sbin = (strings != 0).astype(jnp.int32)
+    pieces = label_components_pieces(sbin, 0, cfg.weak_ccl_round_cap,
+                                     bh=cfg.ccl_bh or cfg.pieces_bh
+                                     or None)
+    pfull = pad2d(pieces, 1, "zero", constant=-7)
+    closed = pieces >= 0
+    for dy, dx in NEIGH8:
+        nb = shifted(pfull, 1, dy, dx, h, w)
+        closed = closed & ~((nb >= 0) & (nb != pieces))
+
+    S = comp0.cap
+    live = comp0.valid()
+    p_s = jnp.clip(comp0.idx, 0, n - 1)
+    rows = jnp.stack([pieces.reshape(-1),
+                      closed.reshape(-1).astype(jnp.int32)], axis=1)[p_s]
+    plbl_s = rows[:, 0]
+    closed_s = rows[:, 1]
+    key = jnp.where(live & (plbl_s >= 0), plbl_s, n)
+    skey, sclosed, sslot = lax.sort(
+        (key, closed_s, jnp.arange(S, dtype=jnp.int32)), num_keys=1)
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    last = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones((1,), bool)])
+
+    def run_total(vals):
+        csum = jnp.cumsum(vals)
+        pre = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
+        base = lax.cummax(jnp.where(first, pre, 0))
+        big = jnp.iinfo(jnp.int32).max
+        end = lax.cummin(jnp.where(last, csum, big), reverse=True)
+        return end - base
+
+    size = run_total(jnp.ones((S,), jnp.int32))
+    n_open = run_total(1 - sclosed)
+    killable = (skey < n) & (n_open == 0) & (size <= size_thre)
+    keep = jnp.ones((S,), bool).at[sslot].set(~killable, mode="drop")
+    return keep & live
+
+
 def _polyline_tail_sparse(strings, sp: int, minerror: float,
                           size_thre: int, cap: int, cfg: PipelineConfig,
                           axis_name: str | None = None):
@@ -586,17 +651,65 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
     p_s = jnp.clip(comp0.idx, 0, n - 1)
 
     cyc_cap = max(1024, n // cfg.cycle_sparse_factor)
-    tail_cap = (max(4096, 2 * S // cfg.walk_tail_factor)
-                if cfg.walk_tail_factor else 0)
-    tail_stages = None
-    if tail_cap and cfg.walk_tail_factor2:
-        cap2 = max(2048, 2 * S // cfg.walk_tail_factor2)
-        if cap2 < tail_cap:
-            tail_stages = ((cfg.walk_tail_rounds2, tail_cap), (0, cap2))
-    number_s, _, live, _, chainlen_s, arcmin_s = arc_chain_sparse(
-        strings, comp0, cfg.number_doublings, cyc_cap, axis_name,
-        tail_switch_rounds=cfg.walk_tail_switch, tail_cap=tail_cap,
-        tail_stages=tail_stages, tail_pin=cfg.pin_walk_tail)
+
+    def _walk_at(comp_w):
+        Sw = comp_w.cap
+        tail_cap = (max(4096, 2 * Sw // cfg.walk_tail_factor)
+                    if cfg.walk_tail_factor else 0)
+        tail_stages = None
+        if tail_cap and cfg.walk_tail_factor2:
+            cap2 = max(2048, 2 * Sw // cfg.walk_tail_factor2)
+            if cap2 < tail_cap:
+                tail_stages = ((cfg.walk_tail_rounds2, tail_cap),
+                               (0, cap2))
+        return arc_chain_sparse(
+            strings, comp_w, cfg.number_doublings, cyc_cap, axis_name,
+            tail_switch_rounds=cfg.walk_tail_switch, tail_cap=tail_cap,
+            tail_stages=tail_stages, tail_pin=cfg.pin_walk_tail)
+
+    S1 = (max(4096, n // cfg.walk_prefilter_factor)
+          if cfg.walk_prefilter_factor else 0)
+    if not S1 or S1 >= S or axis_name is not None:
+        # sharded walks keep the plain path (the prefilter's pieces
+        # flood would run per shard; the slot-range sharding already
+        # divides the gather cost there)
+        number_s, _, live, _, chainlen_s, arcmin_s = _walk_at(comp0)
+    else:
+        # small-component pre-kill (see _small_component_kill): the
+        # walk runs over the surviving slots only, then scatters its
+        # per-slot outputs back to comp0 slot space.  Runtime cond
+        # falls back to the unfiltered walk when survivors overflow S1
+        # (always exact); killed slots surface as number 0 (dead),
+        # exactly what the size filter would do to them.
+        keep_s = _small_component_kill(strings, comp0, size_thre, cfg)
+        rank1 = jnp.cumsum(keep_s.astype(jnp.int32)) - 1
+        n_surv = jnp.where(S > 0, rank1[-1] + 1, 0)
+
+        def filtered(_):
+            comp1 = compact_subset(comp0, keep_s, S1)
+            num1, head1, live1, cyc1, cl1, am1 = _walk_at(comp1)
+            tab = jnp.stack([num1, head1, cl1, am1,
+                             cyc1.astype(jnp.int32)], axis=1)
+            slot1 = jnp.clip(jnp.where(keep_s, rank1, S1), 0, S1 - 1)
+            back = tab[slot1]                      # one (S,5) row gather
+            alive = keep_s & (rank1 < S1)
+            number = jnp.where(alive, back[:, 0], 0)
+            head = jnp.where(alive, back[:, 1], 0)
+            cl = jnp.where(alive, back[:, 2], 0)
+            am = jnp.where(alive, back[:, 3], jnp.int32(n))
+            cyc = alive & (back[:, 4] != 0)
+            return number, head, comp0.valid(), cyc, cl, am
+
+        def full(_):
+            return _walk_at(comp0)
+
+        if cfg.pin_walk_prefilter == 1:
+            out = filtered(None)
+        elif cfg.pin_walk_prefilter == 2:
+            out = full(None)
+        else:
+            out = jax.lax.cond(n_surv <= S1, filtered, full, None)
+        number_s, _, live, _, chainlen_s, arcmin_s = out
 
     # ---- arc grouping (replaces label_arcs + calcSize + filterSize +
     # relabel).  The walk reports the arc pixel count (chain length

@@ -81,6 +81,12 @@ def _densities(bgr_frames, cfg: PipelineConfig):
         _, _, _, cyc, _, _ = arc_chain_sparse(strings, comp,
                                               cfg.number_doublings, 4096)
         cyc_d = jnp.sum(cyc.astype(jnp.float32)) / hw
+        # walk-prefilter survivor density (slots whose component is NOT
+        # provably <= size_thre px; sizes the filtered walk capacity)
+        from rectdetect_tpu.ops.polyline import _small_component_kill
+        keep_s = _small_component_kill(strings, comp,
+                                       cfg.size_thre_rect, cfg)
+        surv_d = jnp.sum(keep_s.astype(jnp.float32)) / hw
         # run density of the PRE-despeckle2 region map (what
         # regions.sizes_despeckle2 compacts; despeckle2 only merges, so
         # pre-despeckle2 is the worst case)
@@ -92,13 +98,13 @@ def _densities(bgr_frames, cfg: PipelineConfig):
              (seg_pre[:, 1:] != seg_pre[:, :-1]).astype(jnp.float32)],
             axis=1))
         return (edge_d, rect_strings_d, strings_d, boundary_d, arcs_d,
-                n_arcs, cyc_d, runs_d, groups_n)
+                n_arcs, cyc_d, runs_d, groups_n, surv_d)
 
     edge_d = rect_d = strings_d = boundary_d = arcs_d = cyc_d = 0.0
-    runs_d = 0.0
+    runs_d = surv_d = 0.0
     arcs = groups = 0
     for f in bgr_frames:
-        e, rs, s, b, a, n, c, rd, g = stats(f)
+        e, rs, s, b, a, n, c, rd, g, sv = stats(f)
         edge_d = max(edge_d, float(e))
         rect_d = max(rect_d, float(rs))
         strings_d = max(strings_d, float(s))
@@ -108,8 +114,9 @@ def _densities(bgr_frames, cfg: PipelineConfig):
         cyc_d = max(cyc_d, float(c))
         runs_d = max(runs_d, float(rd))
         groups = max(groups, int(g))
+        surv_d = max(surv_d, float(sv))
     return (edge_d, rect_d, strings_d, boundary_d, arcs_d, arcs, cyc_d,
-            runs_d, groups)
+            runs_d, groups, surv_d)
 
 
 def _key(device_kind: str, h: int, w: int) -> str:
@@ -128,7 +135,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     import jax
     h, w = np.asarray(bgr_frames[0]).shape[:2]
     (edge_d, rect_d, strings_d, boundary_d, arcs_d, arcs,
-     cyc_d, runs_d, groups) = _densities(bgr_frames, cfg)
+     cyc_d, runs_d, groups, surv_d) = _densities(bgr_frames, cfg)
 
     def factor_for(density, cap=64):
         d = min(max(density * MARGIN, 1e-4), 1.0)
@@ -156,6 +163,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         # (G+1, arena cap) membership matrices' memory)
         max_groups=int(min(2048, max(cfg.max_groups,
                                      -(-int(groups * MARGIN) // 64) * 64))),
+        walk_prefilter_factor=factor_for(surv_d, cap=48),
     )
     # batched-mode branch pin for the run-length despeckle2: the cond's
     # predicate is nruns <= H*W//region_run_factor; pin run-length when
@@ -163,7 +171,10 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     pin_runs = (1 if cfg.region_run_factor and
                 runs_d * 1.5 <= 1.0 / cfg.region_run_factor else 2)
     dev = device_kind or jax.devices()[0].device_kind
-    native.plan_save(plan_path, _key(dev, h, w), {
+    # merge with any existing entries (tune_kernels' block winners live
+    # in the same section — a recalibration must not drop them)
+    entries = native.plan_load(plan_path, _key(dev, h, w))
+    entries.update({
         "sparse_factor": str(new.sparse_factor),
         "strings_sparse_factor": str(new.strings_sparse_factor),
         "strings_small_factor": str(new.strings_small_factor),
@@ -173,8 +184,10 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         "cycle_sparse_factor": str(new.cycle_sparse_factor),
         "ls_capacity": str(new.ls_capacity),
         "max_groups": str(new.max_groups),
+        "walk_prefilter_factor": str(new.walk_prefilter_factor),
         "pin_region_runs": str(pin_runs),
     })
+    native.plan_save(plan_path, _key(dev, h, w), entries)
     return new
 
 
@@ -434,6 +447,7 @@ def load_calibrated_config(h: int, w: int,
             pin_strings_branch=1,
             pin_arc_branch=1,
             pin_walk_tail=2,
+            pin_walk_prefilter=1,
             pin_region_runs=int(entries.get("pin_region_runs", 1)),
         )
     return dataclasses.replace(
@@ -455,6 +469,8 @@ def load_calibrated_config(h: int, w: int,
                                             cfg.cycle_sparse_factor)),
         ls_capacity=int(entries.get("ls_capacity", cfg.ls_capacity)),
         max_groups=int(entries.get("max_groups", cfg.max_groups)),
+        walk_prefilter_factor=int(entries.get(
+            "walk_prefilter_factor", cfg.walk_prefilter_factor)),
         ccl_bh=int(entries.get("ccl_bh", cfg.ccl_bh)),
         pieces_bh=int(entries.get("pieces_bh", cfg.pieces_bh)),
         merge_bh=int(entries.get("merge_bh", cfg.merge_bh)),

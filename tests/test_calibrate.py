@@ -24,6 +24,20 @@ def test_calibrate_roundtrip(tmp_path, monkeypatch):
     other = calibrate.load_calibrated_config(99, 77, plan_path=plan)
     assert other == DEFAULT_CONFIG
 
+    # recalibration must MERGE with existing section entries, not
+    # overwrite them (tune_kernels' block winners live in the same
+    # section; a refresh dropped them once — round 3)
+    import jax
+    from rectdetect_tpu.runtime import native
+    key = calibrate._key(jax.devices()[0].device_kind, h, w)
+    entries = native.plan_load(plan, key)
+    entries["merge_bh"] = "256"
+    native.plan_save(plan, key, entries)
+    calibrate.calibrate(frames, plan_path=plan)
+    assert native.plan_load(plan, key)["merge_bh"] == "256"
+    assert calibrate.load_calibrated_config(
+        h, w, plan_path=plan).merge_bh == 256
+
 
 def test_plan_lookup_tpu_kind_fallback(tmp_path):
     # a relay may report a device_kind spelling that was never calibrated;

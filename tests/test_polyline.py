@@ -257,3 +257,56 @@ def test_arc_capacity_switch_overflow_falls_back(strings):
             np.asarray(getattr(a_big, f)), np.asarray(getattr(a_sw, f)),
             err_msg=f"arena field {f}")
     np.testing.assert_array_equal(np.asarray(l_big), np.asarray(l_sw))
+
+
+def test_walk_prefilter_bit_identical():
+    """The small-component pre-kill (walk_prefilter_factor) must be
+    bit-identical to the unfiltered walk: killed components could never
+    pass the arc size filter, so arena/lsid/compaction all match.
+
+    The frame is sized so the filtered capacity is genuinely smaller
+    than the strings capacity (max(4096,...) floors would otherwise
+    statically bypass the filter)."""
+    import dataclasses
+    from rectdetect_tpu.config import DEFAULT_CONFIG
+
+    h, w = 256, 512
+    r = np.random.default_rng(5)
+    e = (r.random((h, w)) < 0.06).astype(np.int64)   # noise fragments
+    for y in range(20, h - 20, 24):                  # long chains
+        e[y, 8:w - 8] = 1
+    e[40:200, 70] = 1
+    e[60, 100:400] = 0                               # cut one line
+    edge = jnp.asarray(e.astype(np.int32))
+    cap = 2048
+    n = h * w
+    sp = max(4096, n // DEFAULT_CONFIG.strings_sparse_factor)
+    s1 = max(4096, n // 24)
+    assert s1 < sp, "test frame must engage the filtered branch"
+    off = dataclasses.replace(DEFAULT_CONFIG, walk_prefilter_factor=0)
+    on = dataclasses.replace(DEFAULT_CONFIG, walk_prefilter_factor=24)
+    # size_thre 5: the synthetic map has both small fragments (killed)
+    # and long chains (kept)
+    a0, l0, c0 = tpoly.polyline_execute(edge, 1.0, 5, cap, off,
+                                        return_comp=True)
+    a1, l1, c1 = tpoly.polyline_execute(edge, 1.0, 5, cap, on,
+                                        return_comp=True)
+    for f in tpoly.SegmentArena._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a0, f)), np.asarray(getattr(a1, f)),
+            err_msg=f"arena field {f}")
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(c0.idx), np.asarray(c1.idx))
+
+    # pinned-filtered (batch mode) equally identical when survivors fit
+    pin = dataclasses.replace(on, pin_walk_prefilter=1)
+    a2, l2, _ = tpoly.polyline_execute(edge, 1.0, 5, cap, pin,
+                                       return_comp=True)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l2))
+
+    # survivor overflow: tiny S1 forces the cond fallback to the full
+    # walk — still bit-identical
+    ov = dataclasses.replace(on, walk_prefilter_factor=10 ** 6)
+    a3, l3, _ = tpoly.polyline_execute(edge, 1.0, 5, cap, ov,
+                                       return_comp=True)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l3))
