@@ -43,6 +43,9 @@ def main():
     res = sys.argv[1] if len(sys.argv) > 1 else "720x1280"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     h, w = (int(v) for v in res.split("x"))
+    # measure with the same calibrated capacities the bench runs under
+    from rectdetect_tpu.runtime.calibrate import load_calibrated_config
+    cfg = load_calibrated_config(h, w, cfg=cfg, verbose=True)
     print(f"platform={jax.devices()[0].platform} {h}x{w} N={n}", flush=True)
 
     sp = (max(4096, h * w // cfg.strings_sparse_factor)
