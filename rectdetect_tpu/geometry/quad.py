@@ -80,14 +80,24 @@ def jarvis_hull(pts, valid, max_vertices: int):
         dist = jnp.sum(rel * rel, axis=1)
         cand_ok = valid & (dist > 1e-12)
         # next vertex: candidate with no other point strictly to its left.
-        # The "strictly" threshold is on the sine of the angle (cross
-        # normalized by the vector lengths), not the raw cross product —
-        # raw f32 cross noise scales with coordinate^2 and a fixed epsilon
-        # breaks under fused-multiply-add reassociation.
+        # Two thresholds, both required:
+        #   * sine of the angle (cross / product of lengths) — raw f32
+        #     cross noise scales with coordinate^2 and a fixed epsilon
+        #     breaks under fused-multiply-add reassociation;
+        #   * 0.1 px perpendicular distance (cross / |rel_i|) — the
+        #     reference's quickHull culls vertices within 0.1 px of the
+        #     chord (d < 0.01 on the squared distance, oclrect.c:697-734),
+        #     so a long near-straight side stays ONE hull edge.  Without
+        #     it a 0.04 px bend splits a quad side into two hull edges,
+        #     pickExternalLS picks both collinear halves, and
+        #     pickLongestLS(4) builds a degenerate quad whose corner
+        #     intersections explode (round-3 photo-corpus finding).
         cross = rel[:, None, 0] * rel[None, :, 1] - \
             rel[:, None, 1] * rel[None, :, 0]           # cross(c_i, p_j)
         norm = jnp.sqrt(jnp.maximum(dist[:, None] * dist[None, :], 1e-20))
-        left = (cross > 1e-5 * norm) & cand_ok[None, :]
+        thr = jnp.maximum(1e-5 * norm,
+                          0.1 * jnp.sqrt(jnp.maximum(dist, 1e-20))[:, None])
+        left = (cross > thr) & cand_ok[None, :]
         has_left = jnp.any(left, axis=1)
         good = cand_ok & ~has_left
         # among good candidates pick the farthest (skips collinear mids)

@@ -313,9 +313,12 @@ def label_merge(packed, mask, edge_label, n_passes: int = 8,
     atomic-min + pointer jumping needs 72 serial 1M-element gathers).
     Each round floods every maximal horizontal run then every vertical
     run; convergence depth is the row/column alternation depth of the
-    region shapes (`n_rounds` default handles any realistic segmentation;
-    the reference's own 8 passes x 8 jumps has comparable reach limits).
-    n_passes/n_jumps are accepted for API compatibility.
+    region shapes.  The rounds run to the exact fixpoint (early-exit
+    while_loop, static cap 2*(h+w)) — real photo segmentations need >12
+    alternations (round-3 photo-corpus finding: a 24%-dense photo region
+    map under-merged at the old fixed 12 rounds, splitting the gt quad's
+    boundary group).  n_passes/n_jumps/n_rounds are accepted for API
+    compatibility.
 
     On TPU this dispatches to the Pallas exact links-mode CCL
     (ops/pallas_ccl.py): the same row/column scans run to their fixpoint
@@ -329,12 +332,24 @@ def label_merge(packed, mask, edge_label, n_passes: int = 8,
     mh, mv = _merge_pairs(packed, mask, edge_label, x0, w_total)
     label = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
 
-    def one_round(_, label):
+    def one_round(label):
         label = _segmented_min_1d(label, mh)
         label = _segmented_min_1d(label.T, mv.T).T
         return label
 
-    label = jax.lax.fori_loop(0, n_rounds, one_round, label)
+    cap = jnp.int32(2 * (h + w))
+
+    def cond(c):
+        _, changed, it = c
+        return changed & (it < cap)
+
+    def body(c):
+        lbl, _, it = c
+        new = one_round(lbl)
+        return new, jnp.any(new != lbl), it + 1
+
+    label, _, _ = jax.lax.while_loop(
+        cond, body, (label, jnp.bool_(True), jnp.int32(0)))
     return label.astype(jnp.int32)
 
 
