@@ -67,6 +67,9 @@ class PipelineConfig:
     quant_bh: int = 64            # quant_despeckle_pallas
     bids_bh: int = 64             # distinct_bids_pallas (reduceLS window)
     blblur_block: int = 128       # blblur_pallas_blocked row block
+    blblur_fuse: int = 0          # >0: fused (H,V) iterations per kernel
+                                  # launch (blblur_pallas_fused); 0 =
+                                  # per-pass blocked form
     labelpl_passes: int = 12      # N, oclpolyline.c:172
     labelpl_jumps: int = 2        # ref 8, oclpolyline.cl:340; see ccl_jumps
     labelmerge_passes: int = 8    # oclrect.c:328

@@ -28,6 +28,26 @@ from rectdetect_tpu.ops import vmem
 
 BLBLURSIZE = 4  # oclrect.cl:72
 
+# Exact magic-multiply division by the tap count (1 <= ws <= 2*BLBLURSIZE+3).
+# VPU int32 division is emulated and costs ~3x a multiply; (n * M) >> 19
+# with M = floor(2^19/d) + 1 reproduces floor(n/d) exactly for every
+# n <= d*4095 (the csum <= wsum*4095 invariant; verified exhaustively for
+# all d in [1, 11], n in [0, 45045]).  The product tops out at
+# 4095*(2^19 + d) which clears uint32 with 2x headroom.
+_DIV_N = 19
+_DIV_MAGIC = tuple((1 << _DIV_N) // d + 1 for d in range(1, 12))
+
+
+def _div_by_count(csums, wsum):
+    """floor(csum / max(wsum, 1)) per channel via one shared magic
+    select + a uint32 multiply-shift per channel."""
+    ws = jnp.maximum(wsum, 1)
+    m = jnp.full(ws.shape, _DIV_MAGIC[0], jnp.uint32)
+    for d in range(2, 12):
+        m = jnp.where(ws == d, jnp.uint32(_DIV_MAGIC[d - 1]), m)
+    return [((c.astype(jnp.uint32) * m) >> _DIV_N).astype(jnp.int32)
+            for c in csums]
+
 
 def _shift(x, dy: int, dx: int):
     """x shifted so out[y, x] = in[y+dy, x+dx], zero-filled out of range."""
@@ -91,12 +111,9 @@ def _axis_pass(cl, ca, cb, edge, horizontal: bool):
             csum[i] = csum[i] + jnp.where(alive, _shift(chans[i], *off(k)),
                                           0)
 
-    ws = jnp.maximum(wsum, 1)
     keep = wsum == 0
-    out = []
-    for i in range(3):
-        avg = csum[i] // ws
-        out.append(jnp.where(keep, chans[i], avg))
+    avgs = _div_by_count(csum, wsum)
+    out = [jnp.where(keep, chans[i], avgs[i]) for i in range(3)]
     return out[0], out[1], out[2]
 
 
@@ -197,12 +214,9 @@ def _axis_pass_blocked(cl, ca, cb, edge, edge_cross, coord, horizontal,
             csum[i] = csum[i] + jnp.where(alive, _shift(chans[i], *off(k)),
                                           0)
 
-    ws = jnp.maximum(wsum, 1)
     keep = wsum == 0
-    out = []
-    for i in range(3):
-        avg = csum[i] // ws
-        out.append(jnp.where(keep, chans[i], avg))
+    avgs = _div_by_count(csum, wsum)
+    out = [jnp.where(keep, chans[i], avgs[i]) for i in range(3)]
     return out[0], out[1], out[2]
 
 
@@ -305,4 +319,159 @@ def blblur_pallas_blocked(packed, edge, iters: int = 10, block: int = 128,
         else:
             p = _one_pass(p, e, e_right, coord_v, False, block, interpret,
                           h)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-iteration form.  The per-pass blocked kernels above pay one
+# dispatch + one HBM round trip per pass (20 per frame); here F whole
+# (H, V) iterations run per kernel over row blocks with vertical halos.
+#
+# Reach analysis (why halo = 6 rows per fused iteration): an H pass
+# output row depends on edge rows y..y+1 only (the cross break test,
+# oclrect.cl:166) and channel values of row y; a V pass output row
+# depends on channel rows y-4..y+4 and edge rows y-5..y+5.  One (H, V)
+# iteration therefore corrupts at most 6 rows inward from a missing
+# neighbor, and F iterations at most 6F; a 6F-row halo (rounded up to
+# the 8-row sublane) keeps the interior bh rows bit-exact.  Halo rows
+# beyond the frame are zero-filled, which IS the frame-border semantics
+# (the q<0 / q>h-1 guards run on global row coordinates).
+# ---------------------------------------------------------------------------
+
+def _axis_pass_halo(cl, ca, cb, edge, horizontal: bool, row0,
+                    h_true: int, w_true: int):
+    """_axis_pass with global-row coordinates: the block spans rows
+    [row0, row0 + block_h) of the true frame (row0 may be negative —
+    zero-filled halo)."""
+    h, w = edge.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row0
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def off(k):
+        return (0, k) if horizontal else (k, 0)
+
+    cross = (1, 0) if horizontal else (0, 1)
+    coord = xx if horizontal else yy
+    limit = w_true if horizontal else h_true
+    cross_coord = yy if horizontal else xx
+    cross_limit = h_true if horizontal else w_true
+
+    def ed(dy, dx):
+        return _shift(edge, dy, dx) != 0
+
+    chans = (cl, ca, cb)
+    oe = edge != 0
+    wsum = jnp.zeros((h, w), jnp.int32)
+    csum = [jnp.zeros((h, w), jnp.int32) for _ in range(3)]
+
+    alive = jnp.ones((h, w), jnp.bool_)
+    for k in range(0, -BLBLURSIZE - 1, -1):
+        q = coord + k
+        brk = q < 0
+        brk |= (q > 0) & ed(*off(k)) & ~ed(*off(k - 1))
+        brk |= ((q > 0) & (cross_coord < cross_limit - 1) & ~ed(*off(k)) &
+                ed(*off(k - 1)) &
+                ed(off(k)[0] + cross[0], off(k)[1] + cross[1]))
+        alive = alive & ~brk
+        wsum = wsum + alive.astype(jnp.int32)
+        for i in range(3):
+            csum[i] = csum[i] + jnp.where(alive, _shift(chans[i], *off(k)),
+                                          0)
+
+    alive = jnp.ones((h, w), jnp.bool_)
+    for k in range(0, BLBLURSIZE + 1):
+        q = coord + k
+        brk = q > limit - 1
+        brk |= (q < limit - 1) & ~ed(*off(k)) & ed(*off(k + 1))
+        brk |= oe & ~ed(*off(k))
+        alive = alive & ~brk
+        wsum = wsum + alive.astype(jnp.int32)
+        for i in range(3):
+            csum[i] = csum[i] + jnp.where(alive, _shift(chans[i], *off(k)),
+                                          0)
+
+    keep = wsum == 0
+    avgs = _div_by_count(csum, wsum)
+    out = [jnp.where(keep, chans[i], avgs[i]) for i in range(3)]
+    return out[0], out[1], out[2]
+
+
+def _fused_kernel(packed_ref, edge_ref, out_ref, *, f_iters: int, bh: int,
+                  halo: int, h_true: int, w_true: int):
+    i = pl.program_id(0)
+    row0 = i * bh - halo
+    packed = packed_ref[0]
+    edge = edge_ref[0]
+    cl = packed & 4095
+    ca = (packed >> 12) & 1023
+    cb = (packed >> 22) & 1023
+
+    def body(_, state):
+        cl, ca, cb = state
+        cl, ca, cb = _axis_pass_halo(cl, ca, cb, edge, True, row0,
+                                     h_true, w_true)
+        cl, ca, cb = _axis_pass_halo(cl, ca, cb, edge, False, row0,
+                                     h_true, w_true)
+        return cl, ca, cb
+
+    cl, ca, cb = jax.lax.fori_loop(0, f_iters, body, (cl, ca, cb))
+    cl = jnp.clip(cl, 0, 4095)
+    ca = jnp.clip(ca, 0, 1023)
+    cb = jnp.clip(cb, 0, 1023)
+    out_ref[0] = ((cb << 22) | (ca << 12) | cl)[halo:halo + bh]
+
+
+def _overlapped(x, nb: int, bh: int, halo: int):
+    """(H, W) -> (nb, bh + 2*halo, W): row blocks with halo overlap,
+    zero beyond the frame.  Static slices of one padded copy — cheap in
+    HBM terms (~(1 + 2*halo/bh)x one frame read) and far simpler than
+    manual DMA."""
+    h, w = x.shape
+    xp = jnp.pad(x, ((halo, nb * bh - h + halo), (0, 0)))
+    return jnp.stack([jax.lax.slice(xp, (i * bh, 0),
+                                    (i * bh + bh + 2 * halo, w))
+                      for i in range(nb)])
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "fuse", "block"))
+def blblur_pallas_fused(packed, edge, iters: int = 10, fuse: int = 5,
+                        block: int = 0):
+    """blblur with `fuse` (H, V) iterations per kernel launch: ceil(
+    iters/fuse) launches instead of 2*iters, one HBM round trip per
+    launch.  Bit-exact vs regions.blblur / blblur_pallas_blocked
+    (tests/test_pallas.py); single-frame path only (the width-tiled
+    path keeps the per-pass form — x0 is traced there)."""
+    interpret = jax.default_backend() not in ("tpu",)
+    p = packed.astype(jnp.int32)
+    e = edge.astype(jnp.int32)
+    h, w = e.shape
+    done = 0
+    while done < iters:
+        f = min(fuse, iters - done)
+        halo = -(-6 * f // 8) * 8
+        if block:
+            bh = block
+        else:
+            total = vmem.budget_elems("blblur_fused") // w // 8 * 8
+            bh = max(8, total - 2 * halo)
+        bh = min(bh, -(-h // 8) * 8)
+        vmem.assert_fits("blblur_fused", (bh + 2 * halo) * w)
+        nb = -(-h // bh)
+        ov_p = _overlapped(p, nb, bh, halo)
+        ov_e = _overlapped(e, nb, bh, halo)
+        spec = pl.BlockSpec((1, bh + 2 * halo, w), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_fused_kernel, f_iters=f, bh=bh, halo=halo,
+                              h_true=h, w_true=w),
+            out_shape=jax.ShapeDtypeStruct((nb, bh, w), jnp.int32),
+            grid=(nb,),
+            in_specs=[spec, spec],
+            out_specs=pl.BlockSpec((1, bh, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+            compiler_params=vmem.compiler_params(),
+        )(ov_p, ov_e)
+        p = out.reshape(nb * bh, w)[:h]
+        done += f
     return p

@@ -111,7 +111,8 @@ def _blblur_axis(packed, edge, horizontal: bool, x0=0,
 
 
 def blblur(packed, edge, iters: int = 10, x0=0,
-           w_total: int | None = None, block: int = 128):
+           w_total: int | None = None, block: int = 128,
+           fuse: int = 0):
     """Edge-limited blur: `iters` rounds of horizontal+vertical passes
     (oclrect.c:286-296).
 
@@ -120,9 +121,17 @@ def blblur(packed, edge, iters: int = 10, x0=0,
     720p) because Mosaic keeps each pass's shift chain in VMEM instead of
     materializing padded copies in HBM.  The x0/w_total offset form
     (halo-widened width tiles, dist/tile.py) also runs the Pallas path:
-    the traced x0 enters the kernel as a coordinate-map input."""
+    the traced x0 enters the kernel as a coordinate-map input.
+
+    fuse > 0 selects the fused multi-iteration kernel (one launch per
+    `fuse` (H,V) iterations, halo'd row blocks — bit-exact, tuned via
+    plan blblur_fuse); single-frame path only, since its halo layout
+    needs static x origins."""
     if jax.default_backend() == "tpu":
-        from rectdetect_tpu.ops.pallas_blblur import blblur_pallas_blocked
+        from rectdetect_tpu.ops.pallas_blblur import (blblur_pallas_blocked,
+                                                      blblur_pallas_fused)
+        if fuse and isinstance(x0, int) and x0 == 0 and w_total is None:
+            return blblur_pallas_fused(packed, edge, iters, fuse=fuse)
         return blblur_pallas_blocked(packed, edge, iters, block=block,
                                      x0=x0, w_total=w_total)
 

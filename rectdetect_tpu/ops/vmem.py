@@ -65,6 +65,8 @@ _MEASURED = {
     "edge_front": 45056,
     "blblur_pass": 64 * 1280,        # horizontal pass (rows x W)
     "blblur_pass_v": 128 * 1280,     # vertical pass (H x cols, H <= 1280)
+    "blblur_fused": 64 * 1280,       # fused form: same ~25-buffer live set
+                                     # per pass (window = (bh+2*halo) x W)
     "ccl_flood": 96 * 1280,
     "ccl_merge": 96 * 1280,          # links-mode flood (label_merge_exact)
 }

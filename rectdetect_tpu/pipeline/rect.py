@@ -195,7 +195,8 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     # edge-limited blur + quantize + despeckle (oclrect.c:286-303)
     with jax.named_scope("region_smoothing"):
         blurred = regions.blblur(packed0, weak_bin, cfg.blblur_iters,
-                                 block=cfg.blblur_block)
+                                 block=cfg.blblur_block,
+                                 fuse=cfg.blblur_fuse)
         despeck = regions.quantize_despeckle(blurred, edge_thin,
                                              cfg.quantize_levels,
                                              cfg.quantize_levels,
@@ -311,7 +312,8 @@ def rect_stage_images(bgr, cfg: PipelineConfig = DEFAULT_CONFIG):
                                        cfg.strength_rescue_rounds)
     weak_bin = (weak_lbl > 0).astype(jnp.int32)
     blurred = regions.blblur(fe.packed0, weak_bin, cfg.blblur_iters,
-                             block=cfg.blblur_block)
+                             block=cfg.blblur_block,
+                             fuse=cfg.blblur_fuse)
     quant = regions.quantize_packed(blurred)
     despeck = regions.despeckle(quant, fe.edge_thin)
     strong_lbl = ccl.filter_strength(weak_lbl, st, cfg.strength_strong)

@@ -303,7 +303,8 @@ def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
         from rectdetect_tpu.ops.pallas_morph import (morph_chain_pallas,
                                                      quant_despeckle_pallas,
                                                      distinct_bids_pallas)
-        from rectdetect_tpu.ops.pallas_blblur import blblur_pallas_blocked
+        from rectdetect_tpu.ops.pallas_blblur import (blblur_pallas_blocked,
+                                                      blblur_pallas_fused)
 
         rng = np.random.default_rng(0)
         # pieces tune at noisy strings density (~30%); boundary at the
@@ -359,6 +360,13 @@ def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
             "blblur_block": ((64, 128, 256), runner(
                 lambda b: blblur_pallas_blocked(packed, noisy, 10,
                                                 block=b))),
+            # form switch: 0 = per-pass blocked (at block=256, the
+            # typical blblur_block winner), >0 = fused iterations per
+            # launch with its budget-derived block
+            "blblur_fuse": ((0, 1, 2), runner(
+                lambda f: blblur_pallas_blocked(packed, noisy, 10,
+                                                block=256) if f == 0
+                else blblur_pallas_fused(packed, noisy, 10, fuse=f))),
         }
     else:
         _cands = {
@@ -371,6 +379,7 @@ def tune_kernels(h: int, w: int, cfg: PipelineConfig = DEFAULT_CONFIG,
             "quant_bh": (32, 64, 128),
             "bids_bh": (32, 64, 128),
             "blblur_block": (64, 128, 256),
+            "blblur_fuse": (0, 1, 2),
         }
         kinds = {k: (c, functools.partial(time_fn, k))
                  for k, c in _cands.items()}
@@ -481,6 +490,7 @@ def load_calibrated_config(h: int, w: int,
         quant_bh=int(entries.get("quant_bh", cfg.quant_bh)),
         bids_bh=int(entries.get("bids_bh", cfg.bids_bh)),
         blblur_block=int(entries.get("blblur_block", cfg.blblur_block)),
+        blblur_fuse=int(entries.get("blblur_fuse", cfg.blblur_fuse)),
     )
 
 

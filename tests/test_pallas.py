@@ -36,6 +36,20 @@ def test_pallas_blblur_blocked_bit_exact():
     np.testing.assert_array_equal(a, b)
 
 
+def test_pallas_blblur_fused_bit_exact():
+    """Fused multi-iteration form: halo'd row blocks, F iterations per
+    launch — bit-exact vs the XLA oracle for every fuse factor and a
+    block that forces multiple halo'd grid steps."""
+    from rectdetect_tpu.ops.pallas_blblur import blblur_pallas_fused
+    packed, edge = make_scene(h=120, w=48)
+    p = jnp.asarray(packed.astype(np.int32))
+    e = jnp.asarray(edge.astype(np.int32))
+    a = np.asarray(regions.blblur(p, e, 10))
+    for fuse in (1, 2, 5):
+        b = np.asarray(blblur_pallas_fused(p, e, 10, fuse=fuse, block=40))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_pallas_blblur_blocked_tall_transposed():
     """Frames taller than _TALL_H run the V pass as the H kernel on
     transposed inputs — must stay bit-exact (shape chosen to avoid the
