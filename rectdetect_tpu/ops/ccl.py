@@ -277,11 +277,13 @@ def strength_filter_pair(edge_img, label, comp, thre_weak: int,
 
     # sort by label; border slots participate (they read their
     # component's total) but contribute 0 (the reference sums interior
-    # pixels only, oclimgutil.cl:641-649)
+    # pixels only, oclimgutil.cl:641-649).  The label itself is not a
+    # sort payload: key == label for every live slot, and only live
+    # slots scatter.
     key = jnp.where(live2, lbl_s, n)
     contrib = jnp.where(ok, val_s, 0)
-    skey, sval, sp, slbl = jax.lax.sort(
-        (key, contrib, p, lbl_s), num_keys=1)
+    skey, sval, sp = jax.lax.sort((key, contrib, p), num_keys=1)
+    slbl = skey
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     last = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones((1,), bool)])
     csum = jnp.cumsum(sval)
@@ -301,10 +303,18 @@ def strength_filter_pair(edge_img, label, comp, thre_weak: int,
     base = jnp.concatenate([base, jnp.zeros((1,), base.dtype)])
     s_live = skey < n
 
-    def filt(thre):
-        keep = s_live & (st_sorted >= thre)
-        out = base.at[jnp.where(keep, sp, n)].set(slbl, mode="drop")[:n]
-        return out.reshape(h, w)
+    # ONE slot scatter for both filter outputs: strong survivors tag
+    # bit 29 (labels are flat indices < n << 2^29) and the two maps
+    # split elementwise — strong_keep is a subset of weak_keep since
+    # thre_strong >= thre_weak.
+    flag = jnp.int32(1 << 29)
+    assert n < (1 << 29)
+    keep_w = s_live & (st_sorted >= thre_weak)
+    tagged = jnp.where(st_sorted >= thre_strong, slbl + flag, slbl)
+    out = base.at[jnp.where(keep_w, sp, n)].set(tagged, mode="drop")[:n]
+    weak_img = jnp.where(out >= flag, out - flag, out).reshape(h, w)
+    strong_img = jnp.where(out >= flag, out - flag,
+                           base[:n]).reshape(h, w)
 
     # (n+1,) table for callers that consume it (dead code under the
     # fused pipeline jit)
@@ -312,7 +322,7 @@ def strength_filter_pair(edge_img, label, comp, thre_weak: int,
     st = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(
         jnp.where(ok, val_s, 0), mode="drop")[:n]
 
-    return filt(thre_weak), filt(thre_strong), st
+    return weak_img, strong_img, st
 
 
 def rescue_filtered(pre_label, filtered, rounds: int = 3):

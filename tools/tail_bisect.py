@@ -1,13 +1,8 @@
-"""Locate where the full rect_frame program's time goes by timing jitted
-PREFIXES of the pipeline (the per-stage numbers in stage_bench measure each
-stage as its own program; the full program can differ by fusion, layout
-conversion between Mosaic custom calls, and scheduling).
+"""Fine-grained prefix bisect INSIDE the rect-tail stages (full_bisect's
+stage granularity is too coarse to rank the slot/table ops).  Same
+amortized single-readback protocol.
 
-Each prefix ends in a tiny reduction so nothing is dead-code-eliminated.
-Amortized single-readback protocol at high N (the relay's flat ~105 ms
-readback cost divides by N).
-
-Usage: python tools/full_bisect.py [HxW] [N] [upto]
+Usage: python tools/tail_bisect.py [HxW] [N]
 """
 
 from __future__ import annotations
@@ -37,20 +32,17 @@ def main():
     from rectdetect_tpu.runtime.cache import enable_persistent_cache
     enable_persistent_cache()
     from rectdetect_tpu.ops import ccl, morphology, polyline, regions
+    from rectdetect_tpu.ops import reduce_ls
+    from rectdetect_tpu.ops.compact import compact_mask
     from rectdetect_tpu.pipeline.frontend import edge_frontend
     from rectdetect_tpu.pipeline import rect as prect
-    from rectdetect_tpu.geometry import pose as gpose
-    from rectdetect_tpu.geometry import quad as gquad
     from bench import synth_frame
 
     res = sys.argv[1] if len(sys.argv) > 1 else "720x1280"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    upto = int(sys.argv[3]) if len(sys.argv) > 3 else 99
     h, w = (int(v) for v in res.split("x"))
-    # measure what the bench measures: the calibrated plan applied
     from rectdetect_tpu.runtime.calibrate import load_calibrated_config
     cfg = load_calibrated_config(h, w, verbose=True)
-    tan = math.tan(math.radians(72) / 2)
     print(f"platform={jax.devices()[0].platform} {h}x{w} N={n}", flush=True)
 
     frames = [jax.device_put(synth_frame(h, w, seed=s)) for s in range(2)]
@@ -61,26 +53,29 @@ def main():
     spb = (max(4096, h * w // cfg.boundary_sparse_factor)
            if cfg.sparse_factor else None)
 
-    def upto_stage(bgr, stop: int):
+    def upto(bgr, stop: int):
         fe = edge_frontend(bgr, cfg)
-        if stop == 0:
-            return fe.edge_thin.sum()
         s = morphology.strings_chain(fe.edge_bin, "rect",
                                      bridge2=cfg.bridge_gap2,
                                      bh=cfg.morph_bh)
+        if stop == 0:
+            return s.sum()
         lbl = ccl.label_components_adaptive(
             s, 0, cfg.ccl_passes, cfg.ccl_jumps,
             small_cap=max(4096, h * w // 8), big_cap=sp,
             round_cap=cfg.weak_ccl_round_cap, pieces_ok=True,
             bh=cfg.ccl_bh or cfg.pieces_bh or None)
-        from rectdetect_tpu.ops.compact import compact_mask
-        scomp = compact_mask((s != 0).reshape(-1), sp) if sp else None
+        if stop == 1:
+            return lbl.sum()
+        scomp = compact_mask((s != 0).reshape(-1), sp)
+        if stop == 2:
+            return lbl.sum() + scomp.idx.sum()
         weak_lbl, strong_lbl, st = ccl.strength_filter_pair(
             fe.edge_thin, lbl, scomp, cfg.strength_weak,
             cfg.strength_strong, cfg.strength_scale)
+        if stop == 3:
+            return weak_lbl.sum() + strong_lbl.sum()
         weak_bin = (weak_lbl > 0).astype(jnp.int32)
-        if stop == 1:
-            return weak_lbl.sum()
         blurred = regions.blblur(fe.packed0, weak_bin, cfg.blblur_iters,
                                  block=cfg.blblur_block,
                                  fuse=cfg.blblur_fuse)
@@ -89,18 +84,22 @@ def main():
                                              cfg.quantize_levels,
                                              cfg.quantize_levels,
                                              bh=cfg.quant_bh)
-        if stop == 2:
+        if stop == 4:
             return despeck.sum()
         strong_bin = (strong_lbl > 0).astype(jnp.int32)
         mask = regions.junction_merge_mask(strong_lbl)
+        if stop == 5:
+            return mask.sum() + despeck.sum()
         seg = regions.label_merge(despeck, mask, strong_lbl,
                                   cfg.labelmerge_passes,
                                   cfg.labelmerge_jumps,
                                   bh=cfg.ccl_bh or cfg.merge_bh or None)
+        if stop == 6:
+            return seg.sum()
         seg = regions.sizes_despeckle2(seg, cfg.despeckle2_thre,
                                        cfg.region_run_factor,
                                        pin=cfg.pin_region_runs)
-        if stop == 3:
+        if stop == 7:
             return seg.sum()
         bmark = regions.mark_boundary(seg)
         boundary = ccl.label_components_adaptive(
@@ -109,35 +108,45 @@ def main():
             round_cap=cfg.boundary_ccl_round_cap,
             force_xla=cfg.boundary_tpu_sparse,
             bh=cfg.ccl_bh or cfg.boundary_bh or None)
-        if stop == 4:
+        if stop == 8:
             return boundary.sum()
         cap = cfg.ls_cap_for(w, h)
         arena, lsid, plcomp = polyline.polyline_execute(
             strong_bin, cfg.minerror_rect, cfg.size_thre_rect, cap, cfg,
             return_comp=True)
-        if stop == 5:
+        if stop == 9:
             return arena.sx.sum() + lsid.sum() + boundary.sum()
+        # ---- inside _hypotheses ----
+        gmax = cfg.max_groups
+        nentry = w * h * 4 // 5
+        table = reduce_ls.pair_bbox_table(
+            boundary, lsid, nentry,
+            edge_cap=max(4096, w * h // cfg.arc_sparse_factor),
+            comp=plcomp, bids_bh=cfg.bids_bh)
+        if stop == 10:
+            return table.owner_lsid.sum() + arena.sx.sum()
+        _, flat2dense, _, rank = reduce_ls.densify_labels(boundary, bg=-1)
+        if stop == 11:
+            return table.owner_lsid.sum() + flat2dense.sum() + \
+                arena.sx.sum()
+        m_a = reduce_ls.probe_membership(boundary, arena, gmax, flat2dense,
+                                         cfg.probe_n, cfg.probe_dist)
+        if stop == 12:
+            return m_a.sum() + table.owner_lsid.sum() + arena.sx.sum()
         segs, valid, status = prect._hypotheses(arena, lsid, boundary,
                                                 w, h, cfg, comp=plcomp)
-        if stop == 6:
-            return segs.sum() + valid.sum()
-        corners, ok = gquad.reduce_groups(segs, valid,
-                                          cfg.hull_max_vertices)
-        c2, c3, val = gpose.pose_estimate(corners, w, h, tan,
-                                          cfg.cg_iters,
-                                          cfg.cg_line_search_iters)
-        return jnp.nan_to_num(c2).sum() + jnp.nan_to_num(val).sum()
+        return segs.sum() + valid.sum()
 
-    names = ["frontend", "+edge_labeling", "+blblur/despeckle",
-             "+label_merge", "+boundary_ccl", "+polyline", "+hypotheses",
-             "+reduce+pose (full)"]
+    names = ["strings_chain", "+pieces_ccl", "+compact", "+strength_pair",
+             "+blblur/quant/despeckle", "+merge_mask", "+label_merge",
+             "+sizes_despeckle2", "+boundary_ccl", "+polyline",
+             "+pair_bbox_table", "+densify", "+probe_membership",
+             "+rest_of_hypotheses"]
     prev = 0.0
     for stop, name in enumerate(names):
-        if stop > upto:
-            break
-        f = jax.jit(lambda b, s=stop: upto_stage(b, s))
-        t = amortized(f, [(fr,) for fr in frames], n) * 1000
-        print(f"{name:22s} {t:9.2f} ms  (+{t - prev:7.2f})", flush=True)
+        f = jax.jit(lambda b, s=stop: upto(b, s))
+        t = amortized(f, [(fr,) for fr in frames], n) * 1e3
+        print(f"{name:26s} {t:8.2f} ms  (+{t - prev:8.2f})", flush=True)
         prev = t
 
 
