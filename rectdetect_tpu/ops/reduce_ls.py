@@ -216,6 +216,117 @@ def probe_membership(boundary, arena, n_groups: int, table,
     return m.at[0].set(False)
 
 
+def first_k_members(g, lsid, n_groups: int, k: int, cap: int):
+    """The k smallest distinct member lsids per group, from a sparse
+    (group, lsid) candidate relation.
+
+    Replaces the dense (n_groups+1, cap) membership matrix + top_k over
+    an int32 score matrix (pipeline/rect._members_from_matrix), which
+    transiently materializes G*cap int32 — ~2 GB at 4K-dense calibrated
+    caps (max_groups 2048 x ls_capacity 262144).  The relation form is
+    O(M log M) in the candidate count (15*cap for the probe pattern)
+    with O(M) memory, and the selection is identical: the matrix path's
+    score = cap - lsid makes top-k exactly the k smallest lsids, with
+    duplicate candidates collapsing idempotently.
+
+    g, lsid: (M,) int32 candidate pairs; entries with g < 1,
+    g > n_groups, lsid < 1 or lsid >= cap are ignored (matching the
+    matrix path, whose group 0 is cleared and whose lsid 0 column is
+    never set by a live segment).
+    Returns (ids (n_groups, k) int32 — 0-filled beyond the member
+    count, valid (n_groups, k) bool, counts (n_groups+1,) int32
+    distinct-member counts, counts[0] == 0).
+    """
+    import jax
+
+    # composite key fits int32: calibration bounds n_groups <= 2048 and
+    # cap <= 262144 (runtime/calibrate.py), so (g*cap + lsid) < 2^31
+    assert (n_groups + 1) * cap < 2 ** 31 - 1, (n_groups, cap)
+    ok = (g > 0) & (g <= n_groups) & (lsid > 0) & (lsid < cap)
+    big = jnp.int32(2 ** 31 - 1)
+    key = jnp.where(ok, g * cap + lsid, big)
+    skey = jax.lax.sort(key)
+    live = skey < big
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & live
+    sg = jnp.where(live, skey // cap, n_groups + 1)
+    sl = jnp.where(live, skey % cap, 0)
+    dr = jnp.cumsum(first.astype(jnp.int32)) - 1        # distinct rank
+    newg = first & jnp.concatenate(
+        [jnp.ones((1,), bool), sg[1:] != sg[:-1]])
+    # dr is nondecreasing, so a running max of dr frozen at group firsts
+    # forward-fills each group's base distinct rank
+    base = jax.lax.cummax(jnp.where(newg, dr, 0))
+    rig = dr - base                                     # rank in group
+    take = first & (rig < k)
+    flat_tgt = jnp.where(take, (sg - 1) * k + rig, n_groups * k)
+    ids = jnp.zeros((n_groups * k + 1,), jnp.int32).at[flat_tgt].set(
+        jnp.where(take, sl, 0), mode="drop")[:-1].reshape(n_groups, k)
+    valid = jnp.zeros((n_groups * k + 1,), bool).at[flat_tgt].set(
+        take, mode="drop")[:-1].reshape(n_groups, k)
+    counts = jnp.zeros((n_groups + 2,), jnp.int32).at[
+        jnp.where(first, sg, n_groups + 1)].add(
+        jnp.where(first, 1, 0), mode="drop")[:n_groups + 1]
+    return ids, valid, counts
+
+
+def probe_members(boundary, arena, n_groups: int, table, k: int,
+                  probe_n: int = 3, probe_dist: int = 2):
+    """Sparse-relation form of probe_membership: the k smallest member
+    lsids per boundary group from the 3x5 probe pattern
+    (oclrect.c:1070-1096), without the (n_groups+1, cap) matrix.
+    Returns (ids, valid, counts) as first_k_members."""
+    h, w = boundary.shape
+    cap = arena.cap
+    live = arena.polyid != 0
+    x0 = jnp.rint(arena.sx)
+    y0 = jnp.rint(arena.sy)
+    x1 = jnp.rint(arena.ex)
+    y1 = jnp.rint(arena.ey)
+    dx = x1 - x0
+    dy = y1 - y0
+    ln = jnp.sqrt(dx * dx + dy * dy)
+    vdx = -dy / jnp.maximum(ln, 1e-20)
+    vdy = dx / jnp.maximum(ln, 1e-20)
+
+    lsids = jnp.arange(cap, dtype=jnp.int32)
+    dense_all = []
+    for j in range(probe_n):
+        fj = (j + 0.5) / probe_n
+        px = x0 + dx * fj
+        py = y0 + dy * fj
+        for dist in range(-probe_dist, probe_dist + 1):
+            cx = jnp.floor(px + vdx * dist + 0.5).astype(jnp.int32)
+            cy = jnp.floor(py + vdy * dist + 0.5).astype(jnp.int32)
+            inb = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h) & live
+            flat = jnp.clip(cy, 0, h - 1) * w + jnp.clip(cx, 0, w - 1)
+            segid = boundary.reshape(-1)[flat]
+            ok = inb & (segid > 0)
+            dense = jnp.where(ok, table[jnp.clip(segid, 0, h * w - 1)], 0)
+            dense_all.append(jnp.where(dense <= n_groups, dense, 0))
+    g = jnp.concatenate(dense_all)
+    ls = jnp.tile(lsids, len(dense_all))
+    return first_k_members(g, ls, n_groups, k, cap)
+
+
+def chain_members(arena, n_groups: int, k: int, ls_thre: float = 32.0):
+    """Sparse-relation form of chain_membership: k smallest member lsids
+    per polyline chain group.  Returns (ids, valid)."""
+    cap = arena.cap
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    heads = chain_heads(arena)
+    is_head = (arena.polyid != 0) & (arena.left_ptr <= 0) & (ids > 0)
+    rank = jnp.cumsum(is_head.astype(jnp.int32))
+    head_dense = jnp.where(is_head, rank, 0).astype(jnp.int32)
+
+    sq = (arena.ex - arena.sx) ** 2 + (arena.ey - arena.sy) ** 2
+    member = (arena.polyid != 0) & (sq > ls_thre * ls_thre)
+    g = head_dense[heads]
+    g = jnp.where(member & (g > 0) & (g <= n_groups), g, 0)
+    mids, mvalid, _ = first_k_members(g, ids, n_groups, k, cap)
+    return mids, mvalid
+
+
 def chain_heads(arena, n_doublings: int = 13):
     """Chain head of every segment by pointer doubling over left_ptr
     (source B walks rightPtr from heads, oclrect.c:1175-1188)."""

@@ -523,7 +523,12 @@ def sizes_despeckle2(label, thre: int = 16, run_factor: int = 16,
         sizes = jnp.zeros((n + 1,), jnp.int32).at[tgt].add(
             rlen, mode="drop")[:n]
         sz_r = sizes[jnp.clip(lbl_r, 0, n - 1)]          # one run gather
-        szmap = jnp.zeros((n + 1,), jnp.int32).at[
+        # sentinel thre+1 (not 0): under a pinned-overflowing run list
+        # (pin=1) runs beyond run_cap get no szmap entry — a 0 there
+        # would classify every pixel past the cap point as "small" and
+        # let it absorb 3x3 neighbor labels; thre+1 conservatively
+        # treats unfilled runs as large and leaves them unchanged
+        szmap = jnp.full((n + 1,), thre + 1, jnp.int32).at[
             jnp.where(valid, idx, n)].set(sz_r, mode="drop")[:n]
 
         def op(a, b):

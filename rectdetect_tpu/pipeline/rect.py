@@ -38,7 +38,11 @@ class RectResult(NamedTuple):
 
 def _members_from_matrix(m, n_groups: int, k: int):
     """First k member segment ids per group from a membership matrix
-    (n_groups+1, cap) -> (ids (n_groups, k), valid (n_groups, k))."""
+    (n_groups+1, cap) -> (ids (n_groups, k), valid (n_groups, k)).
+
+    Oracle/tools path only: production uses the sparse-relation
+    reduce_ls.first_k_members (identical selection, O(relation) memory
+    instead of a transient G*cap int32 score matrix)."""
     cap = m.shape[1]
     lsids = jnp.arange(cap, dtype=jnp.int32)
     score = jnp.where(m[1:], cap - lsids[None, :], 0)
@@ -66,15 +70,14 @@ def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
     _, flat2dense, _, rank = reduce_ls.densify_labels(boundary, bg=-1)
 
     # --- source A: region boundaries (oclrect.c:1064-1171) ---------------
-    m_a = reduce_ls.probe_membership(boundary, arena, gmax, flat2dense,
-                                     cfg.probe_n, cfg.probe_dist)
-    counts = jnp.sum(m_a, axis=1)
+    ids_a, mv_a, counts = reduce_ls.probe_members(
+        boundary, arena, gmax, flat2dense, k, cfg.probe_n,
+        cfg.probe_dist)
     # boundary group g's original (flat) label = its root pixel index;
     # the g-th root in flat order has dense id g, so log-probe the root
     # rank instead of scattering the full frame (reduce_ls.dense_roots)
     roots = reduce_ls.dense_roots(boundary, gmax, bg=-1, rank=rank)
 
-    ids_a, mv_a = _members_from_matrix(m_a, gmax, k)
     group_ok_a = counts[1:] >= 4                        # oclrect.c:1108
 
     seg_xy = jnp.stack([arena.sx, arena.sy, arena.ex, arena.ey], axis=1)
@@ -98,9 +101,8 @@ def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
     segs_a = jnp.nan_to_num(use).reshape(gmax, k, 2, 2)
 
     # --- source B: whole polylines (oclrect.c:1175-1217) -----------------
-    m_b, _ = reduce_ls.chain_membership(arena, gmax,
-                                        cfg.ls_min_len_polyline)
-    ids_b, mv_b = _members_from_matrix(m_b, gmax, k)
+    ids_b, mv_b = reduce_ls.chain_members(arena, gmax, k,
+                                          cfg.ls_min_len_polyline)
     segs_b = seg_xy[ids_b].reshape(gmax, k, 2, 2)
 
     segs = jnp.concatenate([segs_a, segs_b], axis=0)

@@ -193,3 +193,62 @@ def test_strength_filter_pair_matches_staged():
     np.testing.assert_array_equal(np.asarray(fw), np.asarray(weak))
     np.testing.assert_array_equal(np.asarray(fs), np.asarray(strong))
     np.testing.assert_array_equal(np.asarray(fst), np.asarray(st))
+
+
+def test_strength_filter_pair_total_overflow_safe():
+    """The sorted-path run fill must survive a frame whose TOTAL strength
+    exceeds int32 even though every per-component sum fits (ADVICE r3):
+    per-pixel contributions ~1e6 over 3k pixels push the global cumsum
+    past 2^31; decisions must still match the staged scatter-add path
+    (which only needs per-component int32 fit)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.ops import ccl
+    from rectdetect_tpu.ops.compact import compact_mask
+
+    r = np.random.default_rng(11)
+    h, w = 48, 64
+    strings = (r.random((h, w)) < 0.6).astype(np.int32)
+    # edge ~ 10..12 -> val ~ 1.0-1.4e6/px; frame total ~ 2-3e9 > 2^31
+    edge = (10.0 + 2.0 * r.random((h, w))).astype(np.float32) * strings
+    lbl = ccl.label_components(jnp.asarray(strings), 0, 8, 4)
+    comp = compact_mask((jnp.asarray(strings) != 0).reshape(-1), h * w)
+    total = float(np.sum((np.asarray(edge).ravel() ** 2 *
+                          10000.0).astype(np.int64)))
+    assert total > 2 ** 31          # the scene actually wraps int32
+    st = ccl.calc_strength(jnp.asarray(edge), lbl, 10000.0, comp=comp)
+    weak = ccl.filter_strength(lbl, st, 500, comp=comp)
+    strong = ccl.filter_strength(weak, st, 2500, comp=comp)
+    fw, fs, _ = ccl.strength_filter_pair(jnp.asarray(edge), lbl, comp,
+                                         500, 2500)
+    np.testing.assert_array_equal(np.asarray(fw), np.asarray(weak))
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(strong))
+
+
+def test_strength_filter_pair_gather_fill_branch():
+    """Force the index-gather fill (S * thre_max >= 2^31) with huge
+    thresholds on a small list and check it still matches the staged
+    path bit-exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rectdetect_tpu.ops import ccl
+    from rectdetect_tpu.ops.compact import compact_mask
+
+    r = np.random.default_rng(12)
+    h, w = 48, 64
+    strings = (r.random((h, w)) < 0.3).astype(np.int32)
+    edge = (r.random((h, w)) * 40.0).astype(np.float32) * strings
+    lbl = ccl.label_components(jnp.asarray(strings), 0, 8, 4)
+    comp = compact_mask((jnp.asarray(strings) != 0).reshape(-1),
+                        h * w // 2)
+    S = h * w // 2
+    thre_w = 2 ** 31 // S + 1       # forces the gather branch
+    thre_s = 2 * thre_w
+    assert S * max(thre_w, thre_s) >= 2 ** 31
+    st = ccl.calc_strength(jnp.asarray(edge), lbl, 10000.0, comp=comp)
+    weak = ccl.filter_strength(lbl, st, thre_w, comp=comp)
+    strong = ccl.filter_strength(weak, st, thre_s, comp=comp)
+    fw, fs, _ = ccl.strength_filter_pair(jnp.asarray(edge), lbl, comp,
+                                         thre_w, thre_s)
+    np.testing.assert_array_equal(np.asarray(fw), np.asarray(weak))
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(strong))

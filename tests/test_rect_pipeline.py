@@ -239,3 +239,83 @@ def test_pinned_branches_match_cond_branches():
         env=env, capture_output=True, text=True, timeout=1500)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "PINNED_OK" in out.stdout
+
+
+def test_first_k_members_matches_matrix_path():
+    """The sparse-relation member selection (reduce_ls.first_k_members,
+    production) must select exactly what the dense membership-matrix +
+    top_k oracle (prect._members_from_matrix) selects: the k smallest
+    distinct member lsids per group, plus distinct-member counts."""
+    from rectdetect_tpu.pipeline import rect as prect
+    r = np.random.default_rng(5)
+    n_groups, cap, k = 17, 256, 6
+    M = 15 * cap
+    g = r.integers(-2, n_groups + 3, M).astype(np.int32)
+    lsid = r.integers(0, cap, M).astype(np.int32)
+    ids, valid, counts = reduce_ls.first_k_members(
+        jnp.asarray(g), jnp.asarray(lsid), n_groups, k, cap)
+    # dense oracle
+    m = np.zeros((n_groups + 1, cap), bool)
+    ok = (g > 0) & (g <= n_groups) & (lsid > 0) & (lsid < cap)
+    m[g[ok], lsid[ok]] = True
+    ids_o, valid_o = prect._members_from_matrix(jnp.asarray(m),
+                                                n_groups, k)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid_o))
+    # ids compare only where valid (the oracle leaves arbitrary indices
+    # in invalid slots)
+    iv = np.asarray(valid)
+    np.testing.assert_array_equal(np.asarray(ids)[iv],
+                                  np.asarray(ids_o)[iv])
+    counts_o = m.sum(axis=1).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(counts), counts_o)
+
+
+def test_probe_and_chain_members_match_matrix_path():
+    """End-to-end on a real arena: the new probe_members/chain_members
+    must reproduce the old probe_membership/chain_membership + top_k."""
+    import dataclasses as _dc
+    from bench import synth_frame
+    from rectdetect_tpu.config import DEFAULT_CONFIG
+    from rectdetect_tpu.ops import polyline
+    from rectdetect_tpu.pipeline import rect as prect
+    from rectdetect_tpu.pipeline.frontend import edge_frontend
+
+    cfg = _dc.replace(DEFAULT_CONFIG, sparse_factor=0)
+    h, w = 96, 128
+    bgr = jnp.asarray(synth_frame(h, w, seed=3))
+    fe = edge_frontend(bgr, cfg)
+    arena, lsid = polyline.polyline_execute(
+        fe.edge_bin, cfg.minerror_rect, cfg.size_thre_rect,
+        cfg.ls_cap_for(w, h), cfg)
+    # a simple boundary label image: arbitrary region split
+    from rectdetect_tpu.ops import regions, ccl
+    seg = jnp.where(jnp.arange(w)[None, :] < w // 2, 1, 2) * \
+        jnp.ones((h, 1), jnp.int32)
+    bmark = regions.mark_boundary(seg)
+    boundary = ccl.label_components(bmark, -1, cfg.ccl_passes,
+                                    cfg.ccl_jumps)
+    gmax, k = 32, 8
+    _, flat2dense, _, _ = reduce_ls.densify_labels(boundary, bg=-1)
+    m_a = reduce_ls.probe_membership(boundary, arena, gmax, flat2dense,
+                                     cfg.probe_n, cfg.probe_dist)
+    ids_o, mv_o = prect._members_from_matrix(m_a, gmax, k)
+    counts_o = jnp.sum(m_a, axis=1)
+    ids_n, mv_n, counts_n = reduce_ls.probe_members(
+        boundary, arena, gmax, flat2dense, k, cfg.probe_n,
+        cfg.probe_dist)
+    np.testing.assert_array_equal(np.asarray(mv_n), np.asarray(mv_o))
+    iv = np.asarray(mv_n)
+    np.testing.assert_array_equal(np.asarray(ids_n)[iv],
+                                  np.asarray(ids_o)[iv])
+    np.testing.assert_array_equal(np.asarray(counts_n),
+                                  np.asarray(counts_o))
+
+    m_b, _ = reduce_ls.chain_membership(arena, gmax,
+                                        cfg.ls_min_len_polyline)
+    idb_o, mvb_o = prect._members_from_matrix(m_b, gmax, k)
+    idb_n, mvb_n = reduce_ls.chain_members(arena, gmax, k,
+                                           cfg.ls_min_len_polyline)
+    np.testing.assert_array_equal(np.asarray(mvb_n), np.asarray(mvb_o))
+    ivb = np.asarray(mvb_n)
+    np.testing.assert_array_equal(np.asarray(idb_n)[ivb],
+                                  np.asarray(idb_o)[ivb])
