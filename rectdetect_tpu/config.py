@@ -111,6 +111,11 @@ class PipelineConfig:
     walk_tail_factor2: int = 16
     # ---- polyline stage -------------------------------------------------
     mkpl_iters: int = 16          # N, oclpolyline.c:188 (N-1 subdivision rounds)
+    # TPU: run the mkpl subdivision iterations in one sorted-domain VMEM
+    # megakernel (ops/pallas_mkpl.py) instead of the XLA per-iteration
+    # form — identical output, removes ~6 latency-bound random row ops
+    # per iteration.  0 disables (XLA everywhere).
+    mkpl_pallas: int = 1
     min_n_index: int = 4          # MINNINDEX, oclpolyline.cl:21
     min_edge_len: float = 1.0     # MINEDGELEN, oclpolyline.cl:20
     # Segment arena capacity.  Arcs survive only above sizeThre (~20 px),
@@ -232,6 +237,11 @@ class PipelineConfig:
     pin_walk_tail: int = 0
     pin_region_runs: int = 0
     pin_walk_prefilter: int = 0
+    # cycle re-walk skip (chain.arc_chain_sparse pass B): 0 = runtime
+    # cond on the cycle count (typical frames have zero surviving
+    # cycles, so the n_doublings re-walk rounds are skipped), 1 = pin
+    # skip, 2 = pin always-run (batched mode: exact and cond-free)
+    pin_cycle_walk: int = 0
 
     def ls_cap_for(self, iw: int, ih: int) -> int:
         """Arena capacity: min(config cap, reference's byte budget iw*ih*4*4/56)."""

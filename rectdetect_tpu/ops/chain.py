@@ -234,7 +234,8 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
                      tail_switch_rounds: int = 6,
                      tail_cap: int = 0,
                      tail_stages=None,
-                     tail_pin: int = 0):
+                     tail_pin: int = 0,
+                     cyc_pin: int = 0):
     """Arc-length numbering with built-in loop breaking, in one walk.
 
     Replaces the polyline pipeline's strings-CCL -> count_ends ->
@@ -501,78 +502,104 @@ def arc_chain_sparse(strings, comp, n_doublings: int, cyc_cap: int,
     arcmin_s = jnp.minimum(minv[:S], minv[S:])
 
     # ---- pass B: re-number the cut cycles over a tiny sub-list ----------
+    # Real frames have FEW (typically zero) surviving cycles — closed
+    # rings that pass stringify/removeBranch — yet the re-walk costs
+    # n_doublings gather rounds over 2*cyc_cap states unconditionally.
+    # A runtime cond skips the whole pass when no cycle slot exists
+    # (the updates below are then the identity); cyc_pin pins the
+    # branch for batched mode (2 = always run, the exact cond-free
+    # choice; 1 = always skip, for callers that guarantee no cycles).
     C = cyc_cap
-    slot_ids = jnp.arange(S, dtype=jnp.int32)
-    ranks = jnp.cumsum(sub.astype(jnp.int32)) - 1
-    take = sub & (ranks < C)                      # overflow -> number 0
-    sub_idx = jnp.full((C + 1,), S, jnp.int32).at[
-        jnp.where(take, ranks, C)].min(slot_ids, mode="drop")[:C]
-    sub_of = jnp.full((S + 1,), C, jnp.int32).at[
-        jnp.where(take, slot_ids, S)].min(
-        jnp.where(take, ranks, C), mode="drop")
-    sub_of = sub_of.at[S].set(C)
 
-    ssafe = jnp.clip(sub_idx, 0, S - 1)
-    sub_live = sub_idx < S
-    p2 = p_s[ssafe]
-    r2 = root[ssafe]
-    n0_2 = n0_s[ssafe]
-    n1_2 = n1_s[ssafe]
+    def _cycle_pass(state):
+        number_s, head_s, chainlen_s, arcmin_s = state
+        slot_ids = jnp.arange(S, dtype=jnp.int32)
+        ranks = jnp.cumsum(sub.astype(jnp.int32)) - 1
+        take = sub & (ranks < C)                  # overflow -> number 0
+        sub_idx = jnp.full((C + 1,), S, jnp.int32).at[
+            jnp.where(take, ranks, C)].min(slot_ids, mode="drop")[:C]
+        sub_of = jnp.full((S + 1,), C, jnp.int32).at[
+            jnp.where(take, slot_ids, S)].min(
+            jnp.where(take, ranks, C), mode="drop")
+        sub_of = sub_of.at[S].set(C)
 
-    nk2 = jnp.concatenate([n0_2, n1_2])
-    p2_rep = jnp.concatenate([p2, p2])
-    r2_rep = jnp.concatenate([r2, r2])
-    live2b = jnp.concatenate([sub_live, sub_live])
-    absorbing2 = (nk2 == p2_rep) | (nk2 == r2_rep) | ~live2b
-    qs2 = comp.slot_of[jnp.clip(nk2, 0, n)]
-    q2 = sub_of[jnp.clip(qs2, 0, S)]
-    q2ok = q2 < C
-    q2 = jnp.clip(q2, 0, C - 1)
-    absorbing2 = absorbing2 | ~q2ok
-    n0_at_q2 = n0_2[q2]
-    kp2 = jnp.where(n0_at_q2 == p2_rep, 1, 0).astype(jnp.int32)
-    self2 = jnp.arange(2 * C, dtype=jnp.int32)
-    ptr2 = jnp.where(absorbing2, self2, kp2 * C + q2)
-    dist2 = jnp.where(absorbing2, 0, 1).astype(jnp.int32)
-    ab02 = absorbing2
+        ssafe = jnp.clip(sub_idx, 0, S - 1)
+        sub_live = sub_idx < S
+        p2 = p_s[ssafe]
+        r2 = root[ssafe]
+        n0_2 = n0_s[ssafe]
+        n1_2 = n1_s[ssafe]
 
-    for _ in range(n_doublings):
-        packed2 = jnp.stack([dist2, ptr2], axis=1)
-        rows2 = packed2[ptr2]
-        dist2 = dist2 + rows2[:, 0]
-        ptr2 = rows2[:, 1]
+        nk2 = jnp.concatenate([n0_2, n1_2])
+        p2_rep = jnp.concatenate([p2, p2])
+        r2_rep = jnp.concatenate([r2, r2])
+        live2b = jnp.concatenate([sub_live, sub_live])
+        absorbing2 = (nk2 == p2_rep) | (nk2 == r2_rep) | ~live2b
+        qs2 = comp.slot_of[jnp.clip(nk2, 0, n)]
+        q2 = sub_of[jnp.clip(qs2, 0, S)]
+        q2ok = q2 < C
+        q2 = jnp.clip(q2, 0, C - 1)
+        absorbing2 = absorbing2 | ~q2ok
+        n0_at_q2 = n0_2[q2]
+        kp2 = jnp.where(n0_at_q2 == p2_rep, 1, 0).astype(jnp.int32)
+        self2 = jnp.arange(2 * C, dtype=jnp.int32)
+        ptr2 = jnp.where(absorbing2, self2, kp2 * C + q2)
+        dist2 = jnp.where(absorbing2, 0, 1).astype(jnp.int32)
+        ab02 = absorbing2
 
-    absorbed2 = ab02[ptr2]
-    end2 = p2_rep[ptr2]
-    e0b, d0b, a0b = end2[:C], dist2[:C], absorbed2[:C]
-    e1b, d1b, a1b = end2[C:], dist2[C:], absorbed2[C:]
-    pick0b = e0b <= e1b
-    numb = jnp.where(pick0b, d0b, d1b)
-    okb = jnp.where(pick0b, a0b, a1b)
-    headb = jnp.minimum(e0b, e1b)
-    numb = jnp.where(sub_live & okb, numb, 0).astype(jnp.int32)
-    # Cut-cycle arc statistics use the OLD grouped semantics over the
-    # (tiny) sub-list — residual cycles (a root whose removal leaves a
-    # diagonal reconnection) produce partial walks where the elementwise
-    # d0+d1 double-counts, but the per-head group count/min matches the
-    # dense label_arcs path exactly.  All scatters are at cyc_cap scale.
-    hb_slot = comp.slot_of[jnp.clip(headb, 0, n)]
-    hb_sub = sub_of[jnp.clip(hb_slot, 0, S)]
-    grp_ok = sub_live & (numb > 0) & (hb_sub < C)
-    grp = jnp.where(grp_ok, hb_sub, C)
-    sizes_c = jnp.zeros((C + 1,), jnp.int32).at[grp].add(
-        jnp.where(grp_ok, 1, 0), mode="drop")
-    amin_c = jnp.full((C + 1,), n, jnp.int32).at[grp].min(
-        p2, mode="drop")
-    gsafe = jnp.clip(hb_sub, 0, C - 1)
-    lenb = jnp.where(grp_ok, sizes_c[gsafe], 0).astype(jnp.int32)
-    minb = jnp.where(grp_ok, amin_c[gsafe], n).astype(jnp.int32)
+        # cycles that fit the sub-list have <= C pixels, so reach 2^k >=
+        # C fully numbers every cut path — identical to the dense
+        # path's n_doublings whenever n_doublings also reaches C
+        k_c = min(n_doublings, max(1, (C - 1).bit_length()))
+        for _ in range(k_c):
+            packed2 = jnp.stack([dist2, ptr2], axis=1)
+            rows2 = packed2[ptr2]
+            dist2 = dist2 + rows2[:, 0]
+            ptr2 = rows2[:, 1]
 
-    tgt = jnp.where(sub_live, sub_idx, S)         # index S drops (OOB)
-    number_s = number_s.at[tgt].set(numb, mode="drop")
-    head_s = head_s.at[tgt].set(headb, mode="drop")
-    chainlen_s = chainlen_s.at[tgt].set(lenb, mode="drop")
-    arcmin_s = arcmin_s.at[tgt].set(minb, mode="drop")
+        absorbed2 = ab02[ptr2]
+        end2 = p2_rep[ptr2]
+        e0b, d0b, a0b = end2[:C], dist2[:C], absorbed2[:C]
+        e1b, d1b, a1b = end2[C:], dist2[C:], absorbed2[C:]
+        pick0b = e0b <= e1b
+        numb = jnp.where(pick0b, d0b, d1b)
+        okb = jnp.where(pick0b, a0b, a1b)
+        headb = jnp.minimum(e0b, e1b)
+        numb = jnp.where(sub_live & okb, numb, 0).astype(jnp.int32)
+        # Cut-cycle arc statistics use the OLD grouped semantics over the
+        # (tiny) sub-list — residual cycles (a root whose removal leaves a
+        # diagonal reconnection) produce partial walks where the
+        # elementwise d0+d1 double-counts, but the per-head group
+        # count/min matches the dense label_arcs path exactly.  All
+        # scatters are at cyc_cap scale.
+        hb_slot = comp.slot_of[jnp.clip(headb, 0, n)]
+        hb_sub = sub_of[jnp.clip(hb_slot, 0, S)]
+        grp_ok = sub_live & (numb > 0) & (hb_sub < C)
+        grp = jnp.where(grp_ok, hb_sub, C)
+        sizes_c = jnp.zeros((C + 1,), jnp.int32).at[grp].add(
+            jnp.where(grp_ok, 1, 0), mode="drop")
+        amin_c = jnp.full((C + 1,), n, jnp.int32).at[grp].min(
+            p2, mode="drop")
+        gsafe = jnp.clip(hb_sub, 0, C - 1)
+        lenb = jnp.where(grp_ok, sizes_c[gsafe], 0).astype(jnp.int32)
+        minb = jnp.where(grp_ok, amin_c[gsafe], n).astype(jnp.int32)
+
+        tgt = jnp.where(sub_live, sub_idx, S)     # index S drops (OOB)
+        number_s = number_s.at[tgt].set(numb, mode="drop")
+        head_s = head_s.at[tgt].set(headb, mode="drop")
+        chainlen_s = chainlen_s.at[tgt].set(lenb, mode="drop")
+        arcmin_s = arcmin_s.at[tgt].set(minb, mode="drop")
+        return number_s, head_s, chainlen_s, arcmin_s
+
+    state0 = (number_s, head_s, chainlen_s, arcmin_s)
+    if cyc_pin == 1:
+        pass                                      # caller guarantees none
+    elif cyc_pin == 2:
+        state0 = _cycle_pass(state0)
+    else:
+        n_sub = jnp.sum(sub.astype(jnp.int32))
+        state0 = lax.cond(n_sub > 0, _cycle_pass, lambda s: s, state0)
+    number_s, head_s, chainlen_s, arcmin_s = state0
     # non-cycle slots: exclude the head pixel from the arc id (labelpl
     # drops number==0): if the chain min IS the head, take the 2nd-min
     # of the head-side direction merged with the other direction's min

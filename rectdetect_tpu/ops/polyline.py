@@ -665,7 +665,55 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
         return arc_chain_sparse(
             strings, comp_w, cfg.number_doublings, cyc_cap, axis_name,
             tail_switch_rounds=cfg.walk_tail_switch, tail_cap=tail_cap,
-            tail_stages=tail_stages, tail_pin=cfg.pin_walk_tail)
+            tail_stages=tail_stages, tail_pin=cfg.pin_walk_tail,
+            cyc_pin=cfg.pin_cycle_walk)
+
+    sp_arc = max(4096, n // cfg.arc_sparse_factor)
+    sp_arc_small = (min(sp_arc, max(1024, n // cfg.arc_small_factor), cap)
+                    if cfg.arc_small_factor else 0)
+
+    def _arc_group(walk_out, comp_w):
+        """Arc grouping IN THE WALK'S OWN SLOT SPACE (replaces
+        label_arcs + calcSize + filterSize + relabel).  The walk reports
+        the arc pixel count (chain length minus the head) and the
+        labelpl arc id (min flat index over the arc) ELEMENTWISE per
+        slot, so the per-head scatter histograms of the old formulation
+        disappear entirely: the size filter and the root test are
+        per-slot compares, and the dense relabel publishes ranks at root
+        slots read back through one gather.  Running it over the walk's
+        (possibly prefiltered) compaction rather than comp0 keeps every
+        per-slot op at the survivor count and removes the (S, 5)
+        back-scatter the round-3 formulation paid to unify spaces; the
+        outputs below are (sp_arc,)-shaped, identical across the
+        prefiltered/full walk branches (arc ids rank roots in flat
+        order, the same order in either slot space).
+
+        Returns (dense_a, number_a, comp_arc, n_arc): per-arc-slot
+        dense arc id / number, the arc compaction at sp_arc, and the
+        arc pixel count."""
+        number_w, _, live_w, _, chainlen_w, arcmin_w = walk_out
+        Sw = comp_w.cap
+        p_w = jnp.clip(comp_w.idx, 0, n - 1)
+        fgnum = live_w & (number_w > 0)
+        keep = fgnum & (chainlen_w > size_thre)
+        root_slot = comp_w.slot_of[jnp.clip(arcmin_w, 0, n)]
+        rs_ok = root_slot < Sw          # root beyond comp cap: drop arc
+        keep = keep & rs_ok
+        is_root = keep & (p_w == arcmin_w)
+        rank = jnp.cumsum(is_root.astype(jnp.int32))
+        dense_w = jnp.where(
+            keep, rank[jnp.clip(root_slot, 0, Sw - 1)], 0
+        ).astype(jnp.int32)
+        n_arc = jnp.sum((dense_w > 0).astype(jnp.int32))
+        comp_arc = compact_subset(comp_w, dense_w > 0, sp_arc)
+        slot_a = comp_w.slot_of[jnp.clip(comp_arc.idx, 0, n)]
+        sa = jnp.clip(slot_a, 0, Sw - 1)
+        # one (Sw, 2) packed row gather for both per-arc-slot values
+        dn = jnp.stack([dense_w, number_w], axis=1)[sa]
+        a_ok = comp_arc.valid()
+        dense_a = jnp.where(a_ok, dn[:, 0], 0)
+        number_a = jnp.where(a_ok, dn[:, 1], 0)
+        return dense_a, number_a, comp_arc, n_arc
 
     S1 = (max(4096, n // cfg.walk_prefilter_factor)
           if cfg.walk_prefilter_factor else 0)
@@ -673,35 +721,24 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
         # sharded walks keep the plain path (the prefilter's pieces
         # flood would run per shard; the slot-range sharding already
         # divides the gather cost there)
-        number_s, _, live, _, chainlen_s, arcmin_s = _walk_at(comp0)
+        dense_a, number_a, comp_arc, n_arc = _arc_group(
+            _walk_at(comp0), comp0)
     else:
         # small-component pre-kill (see _small_component_kill): the
-        # walk runs over the surviving slots only, then scatters its
-        # per-slot outputs back to comp0 slot space.  Runtime cond
-        # falls back to the unfiltered walk when survivors overflow S1
-        # (always exact); killed slots surface as number 0 (dead),
-        # exactly what the size filter would do to them.
+        # walk AND the grouping run over the surviving slots only.
+        # Runtime cond falls back to the unfiltered walk when survivors
+        # overflow S1 (always exact); killed slots surface as number 0
+        # (dead), exactly what the size filter would do to them.
         keep_s = _small_component_kill(strings, comp0, size_thre, cfg)
         rank1 = jnp.cumsum(keep_s.astype(jnp.int32)) - 1
         n_surv = jnp.where(S > 0, rank1[-1] + 1, 0)
 
         def filtered(_):
             comp1 = compact_subset(comp0, keep_s, S1)
-            num1, head1, live1, cyc1, cl1, am1 = _walk_at(comp1)
-            tab = jnp.stack([num1, head1, cl1, am1,
-                             cyc1.astype(jnp.int32)], axis=1)
-            slot1 = jnp.clip(jnp.where(keep_s, rank1, S1), 0, S1 - 1)
-            back = tab[slot1]                      # one (S,5) row gather
-            alive = keep_s & (rank1 < S1)
-            number = jnp.where(alive, back[:, 0], 0)
-            head = jnp.where(alive, back[:, 1], 0)
-            cl = jnp.where(alive, back[:, 2], 0)
-            am = jnp.where(alive, back[:, 3], jnp.int32(n))
-            cyc = alive & (back[:, 4] != 0)
-            return number, head, comp0.valid(), cyc, cl, am
+            return _arc_group(_walk_at(comp1), comp1)
 
         def full(_):
-            return _walk_at(comp0)
+            return _arc_group(_walk_at(comp0), comp0)
 
         if cfg.pin_walk_prefilter == 1:
             out = filtered(None)
@@ -709,62 +746,67 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
             out = full(None)
         else:
             out = jax.lax.cond(n_surv <= S1, filtered, full, None)
-        number_s, _, live, _, chainlen_s, arcmin_s = out
+        dense_a, number_a, comp_arc, n_arc = out
 
-    # ---- arc grouping (replaces label_arcs + calcSize + filterSize +
-    # relabel).  The walk reports the arc pixel count (chain length
-    # minus the head) and the labelpl arc id (min flat index over the
-    # arc) ELEMENTWISE per slot, so the per-head scatter histograms of
-    # the old formulation disappear entirely: the size filter and the
-    # root test are per-slot compares, and the dense relabel publishes
-    # ranks at root slots read back through one gather.
-    fgnum = live & (number_s > 0)
-    keep = fgnum & (chainlen_s > size_thre)
-    root_slot = comp0.slot_of[jnp.clip(arcmin_s, 0, n)]
-    rs_ok = root_slot < S               # root beyond comp cap: drop arc
-    keep = keep & rs_ok
-    is_root = keep & (p_s == arcmin_s)
-    rank = jnp.cumsum(is_root.astype(jnp.int32))
-    dense_s = jnp.where(
-        keep, rank[jnp.clip(root_slot, 0, S - 1)], 0).astype(jnp.int32)
-
-    # materialize the dense/number images mkpl reads through `comp`:
-    # only arc pixels are ever read, so scatter at the arc slot count
-    sp_arc = max(4096, n // cfg.arc_sparse_factor)
-    sp_arc_small = (min(sp_arc, max(1024, n // cfg.arc_small_factor), cap)
-                    if cfg.arc_small_factor else 0)
-
-    def _mkpl_at(arc_cap: int, arena_cap: int):
-        comp = compact_subset(comp0, dense_s > 0, arc_cap)
-        slot_a = comp0.slot_of[jnp.clip(comp.idx, 0, n)]
-        sa = jnp.clip(slot_a, 0, S - 1)
+    def _mkpl_at(comp, dense_a2, number_a2, arena_cap: int):
+        # materialize the dense/number images mkpl reads through
+        # `comp`: only arc pixels are ever read, so scatter at the arc
+        # slot count
         tgt_a = jnp.where(comp.valid(), jnp.clip(comp.idx, 0, n - 1), n)
         dense = jnp.zeros((n + 1,), jnp.int32).at[tgt_a].set(
-            dense_s[sa], mode="drop")[:n].reshape(h, w)
+            dense_a2, mode="drop")[:n].reshape(h, w)
         number = jnp.zeros((n + 1,), jnp.int32).at[tgt_a].set(
-            number_s[sa], mode="drop")[:n].reshape(h, w)
+            number_a2, mode="drop")[:n].reshape(h, w)
         arena = mkpl_init(dense, number, arena_cap, comp)
-        arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
-                                     cfg.mkpl_iters, comp, axis_name)
+        # TPU: the 15 subdivision iterations run in ONE VMEM megakernel
+        # (ops/pallas_mkpl.py; the XLA form is ~6 latency-bound random
+        # row ops per iteration).  Identical output; sharded/large-cap
+        # configurations keep the XLA path.
+        # arena_cap >= slot cap makes the in-kernel gn < cap backstop
+        # provably dead (total segments <= slots), so the provisional
+        # slot-order allocation + genealogy remap is a pure renaming
+        if (cfg.mkpl_pallas and axis_name is None
+                and comp.cap % 128 == 0 and comp.cap <= 16384
+                and arena_cap >= comp.cap
+                and jax.default_backend() == "tpu"):
+            from rectdetect_tpu.ops.pallas_mkpl import mkpl_subdivide_pallas
+            arena, lsid = mkpl_subdivide_pallas(
+                arena, dense_a2, number_a2, comp, h, w, minerror,
+                cfg.mkpl_iters)
+        else:
+            arena, lsid = mkpl_subdivide(arena, dense, number, minerror,
+                                         cfg.mkpl_iters, comp, axis_name)
         arena = refine(arena, lsid, comp)
         return arena, lsid, comp
 
     if not sp_arc_small or sp_arc_small >= sp_arc:
-        return _mkpl_at(sp_arc, cap)
+        return _mkpl_at(comp_arc, dense_a, number_a, cap)
 
     # Runtime arc-capacity switch (same pattern as the strings switch in
     # polyline_execute): post-size-filter arc pixels measure ~0.3% of the
     # frame on noisy scenes, so mkpl/refine's per-iteration slot gathers,
     # arena scatters and cumsums — the dominant polyline table costs —
     # run at the small capacity whenever the arc pixels fit.  Equality of
-    # the branches when n_arc < sp_arc_small: compact_subset drops
-    # nothing, segment count is bounded by arc pixels (chord spans >= 1
-    # number index each, so leaves over an L-px arc number <= L), hence
-    # neither branch's arena allocation ever truncates and ids match.
-    n_arc = jnp.sum((dense_s > 0).astype(jnp.int32))
+    # the branches when n_arc < sp_arc_small: truncating the (flat-
+    # ordered) arc compaction drops nothing, segment count is bounded by
+    # arc pixels (chord spans >= 1 number index each, so leaves over an
+    # L-px arc number <= L), hence neither branch's arena allocation
+    # ever truncates and ids match.
+    from rectdetect_tpu.ops.compact import Compaction
 
     def small(_):
-        arena, lsid, comp = _mkpl_at(sp_arc_small, sp_arc_small)
+        # shrink the sp_arc compaction to the small cap: slots are in
+        # flat order, so the first sp_arc_small slots ARE the small
+        # compaction when n_arc fits (and the deterministic
+        # drop-highest-first overflow otherwise)
+        comp_s = Compaction(
+            idx=comp_arc.idx[:sp_arc_small],
+            slot_of=jnp.minimum(comp_arc.slot_of,
+                                sp_arc_small).astype(jnp.int32),
+            n=jnp.minimum(comp_arc.n, sp_arc_small))
+        arena, lsid, comp = _mkpl_at(comp_s, dense_a[:sp_arc_small],
+                                     number_a[:sp_arc_small],
+                                     sp_arc_small)
         pad_c = cap - sp_arc_small
 
         def padf(x):
@@ -779,7 +821,6 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
             end_count=padf(arena.end_count), polyid=padf(arena.polyid),
             npix=padf(arena.npix), level=padf(arena.level),
             count=arena.count)
-        from rectdetect_tpu.ops.compact import Compaction
         idx = jnp.concatenate(
             [comp.idx, jnp.full((sp_arc - sp_arc_small,), n, jnp.int32)])
         slot_of = jnp.where(comp.slot_of >= sp_arc_small, sp_arc,
@@ -787,7 +828,7 @@ def _polyline_tail_sparse(strings, sp: int, minerror: float,
         return arena, lsid, Compaction(idx=idx, slot_of=slot_of, n=comp.n)
 
     def big(_):
-        return _mkpl_at(sp_arc, cap)
+        return _mkpl_at(comp_arc, dense_a, number_a, cap)
 
     if cfg.pin_arc_branch == 1:
         return small(None)

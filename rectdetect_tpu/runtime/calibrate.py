@@ -457,6 +457,7 @@ def load_calibrated_config(h: int, w: int,
             pin_arc_branch=1,
             pin_walk_tail=2,
             pin_walk_prefilter=1,
+            pin_cycle_walk=2,
             pin_region_runs=int(entries.get("pin_region_runs", 1)),
         )
     return dataclasses.replace(
