@@ -145,6 +145,13 @@ class PipelineConfig:
     # default; clean synthetic scenes can use /8+.
     sparse_factor: int = 3
     boundary_sparse_factor: int = 3
+    # small-capacity branch of the rect-strings strength pair (see
+    # pipeline/rect.py edge_labeling): engaged at runtime whenever the
+    # stringified foreground fits h*w//rect_strings_small — exactly
+    # equal output; 0 disables.  Calibrated at 1.2x margin over the
+    # measured rect-strings density (sparse_factor keeps its 1.6x
+    # truncation-safety margin as the fallback cap).
+    rect_strings_small: int = 0
     # ---- Pallas CCL round caps (TPU path) -------------------------------
     # In-VMEM flood rounds per block pass.  The weak-edge instance's labels
     # feed only the strength filters, so block-local piece labels with a
@@ -242,6 +249,9 @@ class PipelineConfig:
     # cycles, so the n_doublings re-walk rounds are skipped), 1 = pin
     # skip, 2 = pin always-run (batched mode: exact and cond-free)
     pin_cycle_walk: int = 0
+    # rect-strings strength-pair capacity switch: 0 = runtime cond,
+    # 1 = pin small, 2 = pin the sparse_factor cap
+    pin_rect_strings: int = 0
 
     def ls_cap_for(self, iw: int, ih: int) -> int:
         """Arena capacity: min(config cap, reference's byte budget iw*ih*4*4/56)."""

@@ -474,7 +474,9 @@ def sizes_despeckle2(label, thre: int = 16, run_factor: int = 16,
     and the per-pixel size gather-back despeckle2 needs — run at run
     count instead of pixel count.  The gather-back becomes a per-run
     gather plus a row-wise forward-fill scan (each run start carries its
-    size; runs never cross row boundaries).
+    size; runs never cross row boundaries).  (A batched per-row-sort
+    run extraction was tried and REVERTED: (h, w) lane-dim sorts
+    measured ~2x slower than the single flat sort on TPU.)
 
     Replaces the two most expensive single ops of the region-merge block
     (one 921k-row scatter + one 921k-row gather -> ~2k-row ops + one

@@ -135,6 +135,91 @@ def rect_frames(frames, tan_aov, cfg: PipelineConfig = DEFAULT_CONFIG
     return jax.vmap(one)(frames)
 
 
+def weak_strong_labels(edge_bin, edge_thin, cfg: PipelineConfig):
+    """Weak/strong edge labeling (oclrect.c:262-312): stringify, label,
+    strength-filter at both thresholds.  Returns (weak_lbl,
+    strong_lbl_or_None, st_or_None, scomp_or_None); when strong comes
+    back None the caller derives it from (weak_lbl, st, scomp) — the
+    staged form the rescue extension needs.
+
+    The reference labels with bgc=-1 (every pixel, oclrect.c:274);
+    zero-valued components always die at the strength filter (their
+    thinned edge magnitude is 0), so labeling only the set pixels
+    (bgc=0, sparse) is interior-equivalent — the only deviation is at
+    frame borders, where the reference accidentally marks border pixels
+    of isolated zero-islands as "edges" for the downstream blur.
+
+    Shared by rect_tail and the measurement tools (tools/tail_bisect,
+    tools/full_bisect) so the measured program IS the production
+    program."""
+    from rectdetect_tpu.ops.compact import compact_mask
+
+    ih, iw = edge_bin.shape
+    sp = (max(4096, ih * iw // cfg.sparse_factor)
+          if cfg.sparse_factor else None)
+    s = morphology.strings_chain(edge_bin, "rect",
+                                 bridge2=cfg.bridge_gap2,
+                                 bh=cfg.morph_bh)
+    if sp is not None:
+        # labels feed only calcStrength/filterStrength -> capped
+        # block-local pieces are output-equivalent (pallas_ccl.
+        # label_components_pieces; validated in test_pallas_ccl)
+        lbl = ccl.label_components_adaptive(
+            s, 0, cfg.ccl_passes, cfg.ccl_jumps,
+            small_cap=max(4096, ih * iw // 8), big_cap=sp,
+            round_cap=cfg.weak_ccl_round_cap, pieces_ok=True,
+            bh=cfg.ccl_bh or cfg.pieces_bh or None)
+    else:
+        lbl = ccl.label_components(s, 0, cfg.ccl_passes,
+                                   cfg.ccl_jumps,
+                                   bh=cfg.ccl_bh or None)
+    if sp is not None and not cfg.strength_rescue_rounds:
+        # fused calcStrength + both filters: one slot gather instead
+        # of six (ccl.strength_filter_pair); the rescue extension
+        # needs the staged form (it edits weak before strong).
+        # Runtime small-capacity switch (same pattern as the
+        # polyline strings switch): the pair's sort/gather/scatter
+        # all scale with the slot cap, and the calibrated
+        # sparse_factor carries a 1.6x safety margin — when the
+        # frame's strings fit the tighter small cap the pair runs
+        # there with exactly equal output (compact_mask drops
+        # nothing below the cap).
+        sp_small_r = (max(4096, ih * iw // cfg.rect_strings_small)
+                      if cfg.rect_strings_small else 0)
+
+        def _pair_at(cap2):
+            sc = compact_mask((s != 0).reshape(-1), cap2)
+            wk, st_, _ = ccl.strength_filter_pair(
+                edge_thin, lbl, sc, cfg.strength_weak,
+                cfg.strength_strong, cfg.strength_scale)
+            return wk, st_
+
+        if sp_small_r and sp_small_r < sp:
+            fgc = jnp.sum((s != 0).astype(jnp.int32))
+            if cfg.pin_rect_strings == 1:
+                weak_lbl, strong_lbl_f = _pair_at(sp_small_r)
+            elif cfg.pin_rect_strings == 2:
+                weak_lbl, strong_lbl_f = _pair_at(sp)
+            else:
+                weak_lbl, strong_lbl_f = jax.lax.cond(
+                    fgc <= sp_small_r,
+                    lambda _: _pair_at(sp_small_r),
+                    lambda _: _pair_at(sp), None)
+        else:
+            weak_lbl, strong_lbl_f = _pair_at(sp)
+        return weak_lbl, strong_lbl_f, None, None
+    scomp = (compact_mask((s != 0).reshape(-1), sp)
+             if sp is not None else None)
+    st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale,
+                           comp=scomp)
+    weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak,
+                                   comp=scomp)
+    if cfg.strength_rescue_rounds:
+        weak_lbl = ccl.rescue_filtered(lbl, weak_lbl,
+                                       cfg.strength_rescue_rounds)
+    return weak_lbl, None, st, scomp
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
               cfg: PipelineConfig = DEFAULT_CONFIG) -> RectResult:
@@ -147,51 +232,9 @@ def rect_tail(packed0, edge_thin, edge_bin, tan_aov,
     spb = (max(4096, ih * iw // cfg.boundary_sparse_factor)
            if cfg.sparse_factor else None)
 
-    # weak/strong edge labeling (oclrect.c:262-312).  The reference labels
-    # with bgc=-1 (every pixel, oclrect.c:274); zero-valued components
-    # always die at the strength filter (their thinned edge magnitude is
-    # 0), so labeling only the set pixels (bgc=0, sparse) is interior-
-    # equivalent — the only deviation is at frame borders, where the
-    # reference accidentally marks border pixels of isolated zero-islands
-    # as "edges" for the downstream blur.
     with jax.named_scope("edge_labeling"):
-        s = morphology.strings_chain(edge_bin, "rect",
-                                     bridge2=cfg.bridge_gap2,
-                                     bh=cfg.morph_bh)
-        scomp = None
-        if sp is not None:
-            # labels feed only calcStrength/filterStrength -> capped
-            # block-local pieces are output-equivalent (pallas_ccl.
-            # label_components_pieces; validated in test_pallas_ccl)
-            lbl = ccl.label_components_adaptive(
-                s, 0, cfg.ccl_passes, cfg.ccl_jumps,
-                small_cap=max(4096, ih * iw // 8), big_cap=sp,
-                round_cap=cfg.weak_ccl_round_cap, pieces_ok=True,
-                bh=cfg.ccl_bh or cfg.pieces_bh or None)
-            # one strings-foreground compaction shared by the strength
-            # scatter and both per-pixel strength filters
-            from rectdetect_tpu.ops.compact import compact_mask
-            scomp = compact_mask((s != 0).reshape(-1), sp)
-        else:
-            lbl = ccl.label_components(s, 0, cfg.ccl_passes,
-                                       cfg.ccl_jumps,
-                                       bh=cfg.ccl_bh or None)
-        if scomp is not None and not cfg.strength_rescue_rounds:
-            # fused calcStrength + both filters: one slot gather instead
-            # of six (ccl.strength_filter_pair); the rescue extension
-            # needs the staged form (it edits weak before strong)
-            weak_lbl, strong_lbl_f, st = ccl.strength_filter_pair(
-                edge_thin, lbl, scomp, cfg.strength_weak,
-                cfg.strength_strong, cfg.strength_scale)
-        else:
-            st = ccl.calc_strength(edge_thin, lbl, cfg.strength_scale,
-                                   comp=scomp)
-            weak_lbl = ccl.filter_strength(lbl, st, cfg.strength_weak,
-                                           comp=scomp)
-            strong_lbl_f = None
-            if cfg.strength_rescue_rounds:
-                weak_lbl = ccl.rescue_filtered(lbl, weak_lbl,
-                                               cfg.strength_rescue_rounds)
+        weak_lbl, strong_lbl_f, st, scomp = weak_strong_labels(
+            edge_bin, edge_thin, cfg)
         weak_bin = (weak_lbl > 0).astype(jnp.int32)
 
     # edge-limited blur + quantize + despeckle (oclrect.c:286-303)

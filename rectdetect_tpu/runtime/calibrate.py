@@ -144,6 +144,11 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     new = dataclasses.replace(
         cfg,
         sparse_factor=factor_for(rect_d, cap=16),
+        # strength-pair small branch: 1.2x margin over the measured
+        # rect-strings density (overflow falls back to the sparse_factor
+        # cap with exactly equal output)
+        rect_strings_small=max(1, min(
+            24, int(1.0 / min(max(rect_d * 1.2, 1e-4), 1.0)))),
         strings_sparse_factor=factor_for(strings_d, cap=24),
         # the small branch of polyline's runtime capacity switch only
         # needs to cover TYPICAL frames (overflow falls back to the big
@@ -163,7 +168,12 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         # (G+1, arena cap) membership matrices' memory)
         max_groups=int(min(2048, max(cfg.max_groups,
                                      -(-int(groups * MARGIN) // 64) * 64))),
-        walk_prefilter_factor=factor_for(surv_d, cap=48),
+        # prefilter overflow falls back to the full walk via a runtime
+        # cond (exact, just slower) — unlike the truncating caps a thin
+        # 1.25x margin is safe here, and the sweep (tools/walk_tune.py)
+        # measured the tighter survivor list 3 ms faster at 720p
+        walk_prefilter_factor=max(1, min(
+            128, int(1.0 / min(max(surv_d * 1.25, 1e-4), 1.0)))),
     )
     # batched-mode branch pin for the run-length despeckle2: the cond's
     # predicate is nruns <= H*W//region_run_factor; pin run-length when
@@ -174,8 +184,17 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     # merge with any existing entries (tune_kernels' block winners live
     # in the same section — a recalibration must not drop them)
     entries = native.plan_load(plan_path, _key(dev, h, w))
+    # the walk-prefilter capacity is owned by the measured sweep
+    # (tools/walk_tune.py persists its winner): the density model here
+    # overestimates production survivors (it derives strings from the
+    # dense oracle pipeline), so never overwrite a sweep-tuned entry
+    if "walk_prefilter_factor" in entries:
+        new = dataclasses.replace(
+            new,
+            walk_prefilter_factor=int(entries["walk_prefilter_factor"]))
     entries.update({
         "sparse_factor": str(new.sparse_factor),
+        "rect_strings_small": str(new.rect_strings_small),
         "strings_sparse_factor": str(new.strings_sparse_factor),
         "strings_small_factor": str(new.strings_small_factor),
         "boundary_sparse_factor": str(new.boundary_sparse_factor),
@@ -458,6 +477,7 @@ def load_calibrated_config(h: int, w: int,
             pin_walk_tail=2,
             pin_walk_prefilter=1,
             pin_cycle_walk=2,
+            pin_rect_strings=1,
             pin_region_runs=int(entries.get("pin_region_runs", 1)),
         )
     return dataclasses.replace(
@@ -465,6 +485,8 @@ def load_calibrated_config(h: int, w: int,
         **pins,
         sparse_factor=int(entries.get("sparse_factor",
                                       cfg.sparse_factor)),
+        rect_strings_small=int(entries.get("rect_strings_small",
+                                           cfg.rect_strings_small)),
         strings_sparse_factor=int(entries.get(
             "strings_sparse_factor", cfg.strings_sparse_factor)),
         strings_small_factor=int(entries.get(

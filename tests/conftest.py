@@ -37,6 +37,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+_TESTS_SEEN = 0
+
+
+@pytest.fixture(autouse=True)
+def _recycle_xla_cpu_compiler():
+    """XLA:CPU segfaults deterministically after ~90 accumulated
+    compiles in one process (see CLAUDE.md) — the reason the suite
+    requires xdist process sharding and has still lost workers as the
+    suite grew (round-3 verdict).  Dropping the jit caches every few
+    tests releases the compiled executables (and with them the CPU
+    client state that accumulates toward the crash) at a small
+    recompile cost for session-scoped fixtures."""
+    global _TESTS_SEEN
+    yield
+    _TESTS_SEEN += 1
+    if _TESTS_SEEN % 12 == 0:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

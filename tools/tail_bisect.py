@@ -55,24 +55,29 @@ def main():
 
     def upto(bgr, stop: int):
         fe = edge_frontend(bgr, cfg)
-        s = morphology.strings_chain(fe.edge_bin, "rect",
-                                     bridge2=cfg.bridge_gap2,
-                                     bh=cfg.morph_bh)
-        if stop == 0:
-            return s.sum()
-        lbl = ccl.label_components_adaptive(
-            s, 0, cfg.ccl_passes, cfg.ccl_jumps,
-            small_cap=max(4096, h * w // 8), big_cap=sp,
-            round_cap=cfg.weak_ccl_round_cap, pieces_ok=True,
-            bh=cfg.ccl_bh or cfg.pieces_bh or None)
-        if stop == 1:
-            return lbl.sum()
-        scomp = compact_mask((s != 0).reshape(-1), sp)
-        if stop == 2:
-            return lbl.sum() + scomp.idx.sum()
-        weak_lbl, strong_lbl, st = ccl.strength_filter_pair(
-            fe.edge_thin, lbl, scomp, cfg.strength_weak,
-            cfg.strength_strong, cfg.strength_scale)
+        if stop <= 2:
+            # sub-steps of the shared block, mirrored for ranking only
+            s = morphology.strings_chain(fe.edge_bin, "rect",
+                                         bridge2=cfg.bridge_gap2,
+                                         bh=cfg.morph_bh)
+            if stop == 0:
+                return s.sum()
+            lbl = ccl.label_components_adaptive(
+                s, 0, cfg.ccl_passes, cfg.ccl_jumps,
+                small_cap=max(4096, h * w // 8), big_cap=sp,
+                round_cap=cfg.weak_ccl_round_cap, pieces_ok=True,
+                bh=cfg.ccl_bh or cfg.pieces_bh or None)
+            if stop == 1:
+                return lbl.sum()
+            scomp0 = compact_mask((s != 0).reshape(-1), sp)
+            return lbl.sum() + scomp0.idx.sum()
+        # the production block itself (incl. the rect-strings switch)
+        weak_lbl, strong_lbl, st, scomp = prect.weak_strong_labels(
+            fe.edge_bin, fe.edge_thin, cfg)
+        if strong_lbl is None:
+            strong_lbl = ccl.filter_strength(weak_lbl, st,
+                                             cfg.strength_strong,
+                                             comp=scomp)
         if stop == 3:
             return weak_lbl.sum() + strong_lbl.sum()
         weak_bin = (weak_lbl > 0).astype(jnp.int32)

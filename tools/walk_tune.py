@@ -92,12 +92,27 @@ def main():
     print(f"best staging: sw={best[0]} f={best[1]} "
           f"{results[best]:.2f} ms", flush=True)
 
-    for pf in (32, 48, 64, 96):
+    pf_res = {}
+    for pf in (48, 64, 96, 128):
         cfg = dataclasses.replace(cfg0, walk_tail_switch=best[0],
                                   walk_tail_factor=best[1],
                                   walk_prefilter_factor=pf)
         t = timed(cfg)
+        pf_res[pf] = t
         print(f"pf={pf}: {t:.2f} ms", flush=True)
+    best_pf = min(pf_res, key=pf_res.get)
+    print(f"best pf={best_pf} {pf_res[best_pf]:.2f} ms", flush=True)
+
+    if "--save" in sys.argv:
+        from rectdetect_tpu.runtime import native
+        from rectdetect_tpu.runtime.calibrate import PLAN_PATH, _key
+        dev = jax.devices()[0].device_kind
+        key = _key(dev, h, w)
+        entries = native.plan_load(PLAN_PATH, key)
+        entries["walk_prefilter_factor"] = str(best_pf)
+        native.plan_save(PLAN_PATH, key, entries)
+        print(f"saved walk_prefilter_factor={best_pf} to [{key}]",
+              flush=True)
 
 
 if __name__ == "__main__":
