@@ -134,10 +134,12 @@ def main():
         if stop == 11:
             return table.owner_lsid.sum() + flat2dense.sum() + \
                 arena.sx.sum()
-        m_a = reduce_ls.probe_membership(boundary, arena, gmax, flat2dense,
-                                         cfg.probe_n, cfg.probe_dist)
+        ids_a, mv_a, counts = reduce_ls.probe_members(
+            boundary, arena, gmax, flat2dense, cfg.max_group_segs,
+            cfg.probe_n, cfg.probe_dist)
         if stop == 12:
-            return m_a.sum() + table.owner_lsid.sum() + arena.sx.sum()
+            return (ids_a.sum() + counts.sum() +
+                    table.owner_lsid.sum() + arena.sx.sum())
         segs, valid, status = prect._hypotheses(arena, lsid, boundary,
                                                 w, h, cfg, comp=plcomp)
         return segs.sum() + valid.sum()
@@ -145,7 +147,7 @@ def main():
     names = ["strings_chain", "+pieces_ccl", "+compact", "+strength_pair",
              "+blblur/quant/despeckle", "+merge_mask", "+label_merge",
              "+sizes_despeckle2", "+boundary_ccl", "+polyline",
-             "+pair_bbox_table", "+densify", "+probe_membership",
+             "+pair_bbox_table", "+densify", "+probe_members",
              "+rest_of_hypotheses"]
     prev = 0.0
     for stop, name in enumerate(names):
