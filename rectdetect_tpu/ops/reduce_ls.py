@@ -327,10 +327,14 @@ def chain_members(arena, n_groups: int, k: int, ls_thre: float = 32.0):
     return mids, mvalid
 
 
-def chain_heads(arena, n_doublings: int = 13):
+def chain_heads(arena, n_doublings: int | None = None):
     """Chain head of every segment by pointer doubling over left_ptr
-    (source B walks rightPtr from heads, oclrect.c:1175-1188)."""
+    (source B walks rightPtr from heads, oclrect.c:1175-1188).
+    Chains cannot exceed the arena capacity, so ceil(log2(cap))
+    doublings always converge."""
     cap = arena.cap
+    if n_doublings is None:
+        n_doublings = max(1, (cap - 1).bit_length())
     ids = jnp.arange(cap, dtype=jnp.int32)
     ptr = jnp.where(arena.left_ptr > 0, arena.left_ptr, ids)
     for _ in range(n_doublings):

@@ -85,9 +85,15 @@ def _hypotheses(arena, lsid, boundary, iw: int, ih: int,
     segid_a = roots[1:][:, None].astype(jnp.int32)      # (G,1) flat label
     hsh = reduce_ls._hash(ids_a, jnp.broadcast_to(segid_a, ids_a.shape),
                           nentry)
-    own_ls = table.owner_lsid[hsh]
-    own_bid = table.owner_bid[hsh]
-    bb = table.bb[hsh]                                  # (G,K,4)
+    # ONE packed row gather for all six per-entry fields (random-row
+    # gathers cost per row, docs/SOL.md)
+    packed_t = jnp.concatenate(
+        [table.owner_lsid[:, None], table.owner_bid[:, None], table.bb],
+        axis=1)
+    trows = packed_t[hsh]                               # (G,K,6)
+    own_ls = trows[..., 0]
+    own_bid = trows[..., 1]
+    bb = trows[..., 2:6]                                # (G,K,4)
     boxes = jnp.stack([iw - bb[..., 0], ih - bb[..., 2],
                        bb[..., 1], bb[..., 3]], axis=-1).astype(jnp.float32)
     clipped = clip_segments(raw_a, boxes)

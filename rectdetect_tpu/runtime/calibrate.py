@@ -162,6 +162,9 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         arc_small_factor=max(1, min(
             512, int(1.0 / min(max(arcs_d * 1.5, 1e-4), 1.0)))),
         cycle_sparse_factor=factor_for(cyc_d, cap=256),
+        # run-list capacity for the fused calcSize+despeckle2 (overflow
+        # falls back to the dense pair via a runtime cond)
+        region_run_factor=factor_for(runs_d, cap=48),
         ls_capacity=int(min(max(arcs * 4 * MARGIN, 4096), 262144)),
         # the reference's group list is dynamic; cover the measured
         # boundary-component demand (rounded to 64, capped for the
@@ -178,8 +181,8 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
     # batched-mode branch pin for the run-length despeckle2: the cond's
     # predicate is nruns <= H*W//region_run_factor; pin run-length when
     # the measured run density clears it with a 1.5x margin
-    pin_runs = (1 if cfg.region_run_factor and
-                runs_d * 1.5 <= 1.0 / cfg.region_run_factor else 2)
+    pin_runs = (1 if new.region_run_factor and
+                runs_d * 1.5 <= 1.0 / new.region_run_factor else 2)
     dev = device_kind or jax.devices()[0].device_kind
     # merge with any existing entries (tune_kernels' block winners live
     # in the same section — a recalibration must not drop them)
@@ -201,6 +204,7 @@ def calibrate(bgr_frames, cfg: PipelineConfig = DEFAULT_CONFIG,
         "arc_sparse_factor": str(new.arc_sparse_factor),
         "arc_small_factor": str(new.arc_small_factor),
         "cycle_sparse_factor": str(new.cycle_sparse_factor),
+        "region_run_factor": str(new.region_run_factor),
         "ls_capacity": str(new.ls_capacity),
         "max_groups": str(new.max_groups),
         "walk_prefilter_factor": str(new.walk_prefilter_factor),
@@ -499,6 +503,8 @@ def load_calibrated_config(h: int, w: int,
                                          cfg.arc_small_factor)),
         cycle_sparse_factor=int(entries.get("cycle_sparse_factor",
                                             cfg.cycle_sparse_factor)),
+        region_run_factor=int(entries.get("region_run_factor",
+                                          cfg.region_run_factor)),
         ls_capacity=int(entries.get("ls_capacity", cfg.ls_capacity)),
         max_groups=int(entries.get("max_groups", cfg.max_groups)),
         walk_prefilter_factor=int(entries.get(

@@ -64,7 +64,9 @@ def one_image(args):
     n_ab, a_only, b_only = match_sets(a_set, b_set, tol)
     row = {"image": os.path.basename(path), "a": len(a_set),
            "b": len(b_set), "ab_matched": n_ab,
-           "a_only": a_only, "b_only": b_only}
+           "a_only": a_only, "b_only": b_only,
+           "a_set": [np.asarray(q).tolist() for q in a_set],
+           "b_set": [np.asarray(q).tolist() for q in b_set]}
     if gt_corners is not None:
         gtq = np.asarray(gt_corners, np.float64)
         ea = min([corner_err(gtq, d) for d in a_set], default=np.inf)
@@ -115,7 +117,53 @@ def main(argv):
     tr = {k: sum(r[k] for r in raw) for k in ("a", "b", "ab_matched")}
     print(f"raw photos: proxy {tr['a']} / build {tr['b']} detections, "
           f"matched {tr['ab_matched']}")
-    out = {"tol_px": tol, "rows": rows, "composites": t, "raws": tr}
+    # attribute every one-sided detection (round-3 verdict item 5):
+    # nearest counterpart among the OTHER engine's accepted quads —
+    # within tol (taken by the 1:1 matching) => a duplicate shape the
+    # dedupe collapsed on one side only; within 3*tol => the same quad
+    # localized past the matching tolerance (alignment margin); farther
+    # => genuinely missing on the other side (the class that hides
+    # real bugs; drill those with stage dumps).
+    attrib = []
+    for r in rows:
+        a_set = [np.asarray(q) for q in r.pop("a_set")]
+        b_set = [np.asarray(q) for q in r.pop("b_set")]
+        for side, mine, other in (("a_only", a_set, b_set),
+                                  ("b_only", b_set, a_set)):
+            if not r[side]:
+                continue
+            # re-derive the one-sided members: greedy 1:1 like match_sets
+            import itertools
+            used = set()
+            matched_mine = set()
+            pairs = sorted(
+                ((corner_err(x, y), i, j)
+                 for (i, x), (j, y) in itertools.product(
+                     enumerate(mine), enumerate(other))),
+                key=lambda t3: t3[0])
+            for e, i, j in pairs:
+                if e > tol or i in matched_mine or j in used:
+                    continue
+                matched_mine.add(i)
+                used.add(j)
+            for i, q in enumerate(mine):
+                if i in matched_mine:
+                    continue
+                near = min((corner_err(q, y) for y in other),
+                           default=float("inf"))
+                cls = ("duplicate" if near <= tol else
+                       "alignment-margin" if near <= 3 * tol else
+                       "missing")
+                attrib.append({"image": r["image"], "side": side,
+                               "nearest_px": round(float(near), 2)
+                               if np.isfinite(near) else None,
+                               "class": cls})
+    print("\none-sided attribution:")
+    for a in attrib:
+        print(f"  {a['image']:34s} {a['side']:7s} "
+              f"nearest={a['nearest_px']} -> {a['class']}")
+    out = {"tol_px": tol, "rows": rows, "composites": t, "raws": tr,
+           "one_sided": attrib}
     with open(os.path.join(os.path.dirname(__file__), "..", "docs",
                            "photo_parity.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -80,8 +80,14 @@ def main():
           f" r2={cfg0.walk_tail_rounds2} f2={cfg0.walk_tail_factor2}"
           f" pf={cfg0.walk_prefilter_factor}): {base:.2f} ms", flush=True)
 
-    results = {}
-    for sw in (1, 2, 3, 4):
+    if "--pf-only" in sys.argv:
+        # large resolutions: the staging winners transfer; sweep only
+        # the prefilter capacity (the expensive compile grid is skipped)
+        best = (cfg0.walk_tail_switch, cfg0.walk_tail_factor)
+        results = {best: base}
+    else:
+      results = {}
+      for sw in (1, 2, 3, 4):
         for fac in (2, 4, 8):
             cfg = dataclasses.replace(cfg0, walk_tail_switch=sw,
                                       walk_tail_factor=fac)
