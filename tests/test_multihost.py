@@ -41,10 +41,15 @@ def test_two_process_loopback_sim():
     repo = os.path.join(os.path.dirname(__file__), "..")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)          # workers set their own device count
+    # generous timeout: the sim compiles the pipeline in two worker
+    # processes, and suite runs share the host with 4 xdist workers
+    # (plus whatever else the machine is doing) — 850 s flaked under
+    # load twice in round-3/4 full-suite runs while passing easily in
+    # isolation
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "multihost_sim.py"),
          "2", "2", "72x96"],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=850)
+        cwd=repo, env=env, capture_output=True, text=True, timeout=2000)
     sys.stdout.write(out.stdout[-2000:])
     sys.stderr.write(out.stderr[-2000:])
     assert out.returncode == 0
