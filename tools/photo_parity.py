@@ -98,8 +98,14 @@ def main(argv):
     jobs = [(os.path.join(corpus, name), meta["corners_xy"], tol)
             for name, meta in sorted(gt.items())]
     import multiprocessing as mp
-    with mp.get_context("spawn").Pool(procs) as pool:
-        rows = pool.map(one_image, jobs)
+    # maxtasksperchild=1: each image gets a FRESH process — one_image
+    # compiles the dense calibration pipeline + the build per image,
+    # and XLA:CPU segfaults after ~90 accumulated compiles in one
+    # process (CLAUDE.md); worker reuse crossed that budget once the
+    # corpus grew (round-4 finding: silent libgcc segfaults killed the
+    # pool with no traceback)
+    with mp.get_context("spawn").Pool(procs, maxtasksperchild=1) as pool:
+        rows = pool.map(one_image, jobs, chunksize=1)
 
     comp = [r for r in rows if r["gt"]]
     raw = [r for r in rows if not r["gt"]]
