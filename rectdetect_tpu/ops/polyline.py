@@ -602,9 +602,15 @@ def _small_component_kill(strings, comp0, size_thre: int,
                       closed.reshape(-1).astype(jnp.int32)], axis=1)[p_s]
     plbl_s = rows[:, 0]
     closed_s = rows[:, 1]
-    key = jnp.where(live & (plbl_s >= 0), plbl_s, n)
-    skey, sclosed, sslot = lax.sort(
-        (key, closed_s, jnp.arange(S, dtype=jnp.int32)), num_keys=1)
+    # pack the closure bit into the sort key (open-first within each
+    # label run — grouping ignores the bit): one payload fewer in the
+    # sort, whose cost scales with operand count
+    key = jnp.where(live & (plbl_s >= 0),
+                    plbl_s * 2 + (1 - closed_s), 2 * n)
+    skey2, sslot = lax.sort(
+        (key, jnp.arange(S, dtype=jnp.int32)), num_keys=1)
+    skey = skey2 >> 1
+    sclosed = 1 - (skey2 & 1)
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     last = jnp.concatenate([skey[1:] != skey[:-1], jnp.ones((1,), bool)])
 

@@ -105,7 +105,10 @@ def main(argv):
     jobs = [(seed, w, h, extended) for seed in range(n)]
 
     import multiprocessing as mp
-    with mp.get_context("spawn").Pool(procs) as pool:
+    # per-task process recycling: scene workers accumulate full-pipeline
+    # compiles and XLA:CPU segfaults past ~90 in one process (CLAUDE.md)
+    with mp.get_context("spawn").Pool(procs,
+                                      maxtasksperchild=2) as pool:
         rows = pool.map(one_scene, jobs)
 
     tot = {k: sum(r[k] for r in rows) for k in
