@@ -1,9 +1,8 @@
-"""Prefix-bisect polyline_execute on the live platform (same protocol as
-tools/full_bisect.py).  Input strong-edge binaries come from the real
-pipeline front so densities are authentic.
-
-Mirrors ops/polyline._polyline_tail_sparse (the one-walk tail: no strings
-CCL, no labelpl flood — see chain.arc_chain_sparse).
+"""Prefix-bisect a SIMPLIFIED polyline tail (no walk prefilter, no
+small-arc branch) — useful for isolating the raw walk/mkpl costs from
+the capacity machinery.  For the PRODUCTION path's stage ranking use
+tools/prod_pl_bisect.py, which mirrors _polyline_tail_sparse's runtime
+switches exactly.
 
 Usage: python tools/pl_bisect.py [HxW] [N]
 """
