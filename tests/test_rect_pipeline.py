@@ -319,3 +319,32 @@ def test_probe_and_chain_members_match_matrix_path():
     ivb = np.asarray(mvb_n)
     np.testing.assert_array_equal(np.asarray(idb_n)[ivb],
                                   np.asarray(idb_o)[ivb])
+
+
+def test_rect_strings_switch_and_cycle_pin_equal():
+    """Round-4 runtime switches must be output-neutral: the rect-strings
+    strength-pair capacity switch (all pin values) and the cycle-walk
+    skip pin (skip vs always-run on a cycle-free scene) reproduce the
+    default path's RectResult exactly."""
+    import dataclasses as _dc
+    import math as _m
+    from bench import synth_frame
+    from rectdetect_tpu.config import DEFAULT_CONFIG
+    from rectdetect_tpu.pipeline.rect import rect_frame
+
+    bgr = jnp.asarray(synth_frame(120, 160, seed=7))
+    tan = _m.tan(_m.radians(72) / 2)
+    r0 = rect_frame(bgr, tan, DEFAULT_CONFIG)
+    variants = [
+        _dc.replace(DEFAULT_CONFIG, rect_strings_small=3,
+                    pin_rect_strings=p) for p in (0, 1, 2)
+    ] + [
+        _dc.replace(DEFAULT_CONFIG, pin_cycle_walk=2),
+    ]
+    for cfg in variants:
+        r1 = rect_frame(bgr, tan, cfg)
+        for f in r0._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(r0, f)), np.asarray(getattr(r1, f)),
+                err_msg=f"{cfg.rect_strings_small},"
+                        f"{cfg.pin_rect_strings},{cfg.pin_cycle_walk},{f}")
