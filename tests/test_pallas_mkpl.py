@@ -125,3 +125,42 @@ def test_mkpl_pallas_heavy_splitting_exact_cap():
     strings = _scene_strings(96, 128, seed=0)
     _assert_equal(*_run_both(strings, cap=1024, minerror=1.0,
                              size_thre=5))
+
+
+def test_mkpl_pallas_vmap_matches_per_frame():
+    """Batched serving vmaps the kernel (rect_frames); the vmapped
+    kernel must equal per-frame results."""
+    from rectdetect_tpu.ops.pallas_mkpl import mkpl_subdivide_pallas
+
+    h, w = 96, 128
+    n = h * w
+    cap, sp_arc = 1024, 1024
+    per_frame = []
+    refs = []
+    for seed in (0, 3):
+        strings = _scene_strings(h, w, seed=seed, noise=4 if seed else 0)
+        dense_a, number_a, comp = _arc_inputs(strings, DEFAULT_CONFIG,
+                                              max(512, n // 4), sp_arc,
+                                              20)
+        tgt_a = jnp.where(comp.valid(), jnp.clip(comp.idx, 0, n - 1), n)
+        dense = jnp.zeros((n + 1,), jnp.int32).at[tgt_a].set(
+            dense_a, mode="drop")[:n].reshape(h, w)
+        number = jnp.zeros((n + 1,), jnp.int32).at[tgt_a].set(
+            number_a, mode="drop")[:n].reshape(h, w)
+        arena0 = polyline.mkpl_init(dense, number, cap, comp)
+        per_frame.append((arena0, dense_a, number_a, comp))
+        refs.append(mkpl_subdivide_pallas(arena0, dense_a, number_a,
+                                          comp, h, w, 4.0, 16,
+                                          interpret=True))
+    b_arena, b_dense, b_num, b_comp = jax.tree_util.tree_map(
+        lambda x, y: jnp.stack([x, y]), per_frame[0], per_frame[1])
+    vf = jax.vmap(lambda a, d, nn, c: mkpl_subdivide_pallas(
+        a, d, nn, c, h, w, 4.0, 16, interpret=True))
+    va, vl = vf(b_arena, b_dense, b_num, b_comp)
+    for i, (ra, rl) in enumerate(refs):
+        for f in ("sx", "sy", "ex", "ey", "start_index", "end_index",
+                  "left_ptr", "right_ptr", "polyid", "level"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(va, f))[i],
+                np.asarray(getattr(ra, f)), err_msg=f"{i}:{f}")
+        np.testing.assert_array_equal(np.asarray(vl)[i], np.asarray(rl))
